@@ -1,0 +1,157 @@
+"""Static-shape robot-graph batching for XLA.
+
+The reference builds a dense per-scene adjacency over N<=5 robots inside its
+model code (SURVEY.md section 2.1 "Graph builder / batcher", reconstructed —
+reference mount empty). For TPU we instead flatten a batch of scene graphs
+into one padded edge list with static shapes so a single jitted program
+handles every batch:
+
+- nodes   = robot views of all scenes, laid out contiguously per scene and
+  padded to ``max_nodes``;
+- edges   = directed (src -> dst) robot-pair edges within each scene, sorted
+  by destination, padded to ``max_edges``;
+- masks   = validity of each node / edge slot.
+
+Padded edge slots point at node slot 0 but carry ``edge_mask == False``; all
+ops in :mod:`mrp_gnn_tpu.ops` are mask-aware so padding never changes results
+(property-tested in tests/test_graph.py, tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A batch of scene graphs flattened into one padded graph.
+
+    All arrays have static shapes; jit-stable across batches.
+
+    Attributes:
+      edge_src: int32[max_edges] source node slot of each directed edge.
+      edge_dst: int32[max_edges] destination node slot, NON-DECREASING over
+        valid edges (edges are sorted by destination; padding sits at the end
+        with dst == 0 and mask False).
+      node_mask: bool[max_nodes] validity of each node slot.
+      edge_mask: bool[max_edges] validity of each edge slot.
+      node_scene: int32[max_nodes] scene id of each node (0 for padding).
+      n_nodes: int32 scalar, number of valid nodes.
+      n_edges: int32 scalar, number of valid edges.
+    """
+
+    edge_src: jax.Array
+    edge_dst: jax.Array
+    node_mask: jax.Array
+    edge_mask: jax.Array
+    node_scene: jax.Array
+    n_nodes: jax.Array
+    n_edges: jax.Array
+
+    @property
+    def max_nodes(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def max_edges(self) -> int:
+        return self.edge_mask.shape[0]
+
+
+def fully_connected_edges(num_robots: int, self_loops: bool = False) -> np.ndarray:
+    """Directed edge list of the fully-connected robot team graph.
+
+    The reference connects every robot pair within a scene (BASELINE.json:9,
+    "5-robot fully-connected graph"). Returns int32 [2, E] (src, dst).
+    """
+    src, dst = [], []
+    for i in range(num_robots):
+        for j in range(num_robots):
+            if i == j and not self_loops:
+                continue
+            src.append(j)
+            dst.append(i)
+    if not src:
+        return np.zeros((2, 0), np.int32)
+    return np.stack([np.array(src, np.int32), np.array(dst, np.int32)])
+
+
+def build_graph_batch(
+    scene_edges: Sequence[np.ndarray],
+    scene_num_nodes: Sequence[int],
+    max_nodes: int,
+    max_edges: int,
+) -> GraphBatch:
+    """Flatten per-scene edge lists into one padded, dst-sorted GraphBatch.
+
+    Args:
+      scene_edges: per scene, int [2, E_s] (src, dst) in scene-local ids.
+      scene_num_nodes: per scene, number of robot nodes.
+      max_nodes / max_edges: static padded capacities.
+    """
+    srcs, dsts, scenes = [], [], []
+    offset = 0
+    for sid, (edges, n) in enumerate(zip(scene_edges, scene_num_nodes)):
+        if edges.size:
+            if edges.max() >= n:
+                raise ValueError(f"scene {sid}: edge index {edges.max()} >= {n} nodes")
+            srcs.append(edges[0].astype(np.int64) + offset)
+            dsts.append(edges[1].astype(np.int64) + offset)
+        scenes.append(np.full(n, sid, np.int32))
+        offset += n
+    n_nodes = offset
+    if n_nodes > max_nodes:
+        raise ValueError(f"{n_nodes} nodes > max_nodes={max_nodes}")
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    n_edges = src.shape[0]
+    if n_edges > max_edges:
+        raise ValueError(f"{n_edges} edges > max_edges={max_edges}")
+
+    # Sort by destination (stable: keeps src order within a segment) so
+    # segment ops and the Pallas kernels see contiguous dst segments.
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+
+    pad_e = max_edges - n_edges
+    edge_src = np.concatenate([src, np.zeros(pad_e, np.int64)]).astype(np.int32)
+    edge_dst = np.concatenate([dst, np.zeros(pad_e, np.int64)]).astype(np.int32)
+    edge_mask = np.arange(max_edges) < n_edges
+    node_mask = np.arange(max_nodes) < n_nodes
+    node_scene = np.concatenate(
+        [np.concatenate(scenes) if scenes else np.zeros(0, np.int32),
+         np.zeros(max_nodes - n_nodes, np.int32)]
+    )
+    return GraphBatch(
+        edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        node_scene=jnp.asarray(node_scene),
+        n_nodes=jnp.asarray(n_nodes, jnp.int32),
+        n_edges=jnp.asarray(n_edges, jnp.int32),
+    )
+
+
+def batch_fully_connected(
+    num_scenes: int,
+    robots_per_scene: int,
+    max_nodes: int | None = None,
+    max_edges: int | None = None,
+    self_loops: bool = False,
+) -> GraphBatch:
+    """GraphBatch for ``num_scenes`` identical fully-connected teams."""
+    edges = fully_connected_edges(robots_per_scene, self_loops)
+    n_nodes = num_scenes * robots_per_scene
+    n_edges = num_scenes * edges.shape[1]
+    return build_graph_batch(
+        [edges] * num_scenes,
+        [robots_per_scene] * num_scenes,
+        max_nodes=max_nodes or n_nodes,
+        max_edges=max_edges or max(n_edges, 1),
+    )

@@ -1,0 +1,94 @@
+"""XLA reference implementations of the graph message-passing ops.
+
+These are the correctness oracles for the Pallas kernels (SURVEY.md section
+4.2) and the default backend on CPU. The reference repo computes the same
+math densely over an N x N adjacency per scene (SURVEY.md section 3.3,
+reconstructed — reference mount empty); here everything is edge-list sparse
+with static padded shapes.
+
+All ops are mask-aware: a padded edge (edge_mask False) or padded node never
+influences any valid output, and gradients flow correctly through gather /
+segment-sum (XLA's scatter-add transpose).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Large-but-finite negative used to mask softmax logits. -inf would produce
+# NaN (inf - inf) for destination nodes whose in-edges are all padding.
+_NEG = -1e30
+
+
+def sddmm(q: jax.Array, k: jax.Array, edge_src: jax.Array, edge_dst: jax.Array,
+          edge_mask: jax.Array | None = None) -> jax.Array:
+    """Per-edge scores: e = <q[dst_e], k[src_e]> (sampled dense-dense matmul).
+
+    Args:
+      q: [V, D] destination-side ("query") node vectors.
+      k: [V, D] source-side ("key") node vectors.
+      edge_src / edge_dst: int32 [E].
+      edge_mask: optional bool [E]; masked edges score 0.
+
+    Returns: float [E] edge scores.
+    """
+    scores = jnp.einsum("ed,ed->e", q[edge_dst], k[edge_src])
+    if edge_mask is not None:
+        scores = jnp.where(edge_mask, scores, 0.0)
+    return scores
+
+
+def segment_softmax(logits: jax.Array, segment_ids: jax.Array, num_segments: int,
+                    mask: jax.Array | None = None) -> jax.Array:
+    """Numerically-stable softmax of edge logits over each dst's in-edges.
+
+    Masked (padding) edges get weight exactly 0; a segment whose edges are all
+    masked yields all-zero weights (not NaN).
+    """
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG)
+    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    # stop_gradient: the max subtraction is a constant shift per segment.
+    shifted = logits - jax.lax.stop_gradient(seg_max)[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        exp = jnp.where(mask, exp, 0.0)
+    denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    denom = jnp.where(denom > 0, denom, 1.0)
+    return exp / denom[segment_ids]
+
+
+def spmm(edge_weights: jax.Array, values: jax.Array, edge_src: jax.Array,
+         edge_dst: jax.Array, num_nodes: int,
+         edge_mask: jax.Array | None = None) -> jax.Array:
+    """Attention-weighted sparse aggregation: out[v] = sum_e w_e * values[src_e].
+
+    Args:
+      edge_weights: float [E] per-edge scalar weights (e.g. attention).
+      values: [V, D] node value vectors (feature maps flattened to D).
+      edge_src / edge_dst: int32 [E].
+      num_nodes: V (static).
+      edge_mask: optional bool [E].
+
+    Returns: [V, D] aggregated messages per destination node.
+    """
+    w = edge_weights
+    if edge_mask is not None:
+        w = jnp.where(edge_mask, w, 0.0)
+    msgs = values[edge_src] * w[:, None]
+    return jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes)
+
+
+def segment_mean_agg(values: jax.Array, edge_src: jax.Array, edge_dst: jax.Array,
+                     num_nodes: int, edge_mask: jax.Array) -> jax.Array:
+    """Mean aggregation over in-neighbours (config ``two_robot_mean``).
+
+    out[v] = mean_{e: dst_e = v} values[src_e]; nodes with no valid in-edges
+    aggregate to zeros.
+    """
+    w = edge_mask.astype(values.dtype)
+    summed = spmm(jnp.ones_like(w), values, edge_src, edge_dst, num_nodes, edge_mask)
+    deg = jax.ops.segment_sum(w, edge_dst, num_segments=num_nodes)
+    return summed / jnp.maximum(deg, 1.0)[:, None]
