@@ -1,0 +1,170 @@
+"""Typed configuration with the 5 contract presets.
+
+The reference drives everything from argparse flags in its train/eval scripts
+(SURVEY.md section 2.1 "CLI/config", reconstructed — reference mount empty).
+Here configs are frozen dataclasses; the preset names are exactly the 5
+driver-contract configs (BASELINE.json:6-12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    image_size: Tuple[int, int] = (64, 64)
+    in_channels: int = 3
+    # Channel width per encoder stage; each stage downsamples 2x.
+    encoder_channels: Tuple[int, ...] = (32, 64, 128)
+    # Robot-graph fusion at the bottleneck: "none" | "mean" | "attention".
+    fusion: str = "attention"
+    num_fusion_layers: int = 1
+    attention_dim: int = 64
+    # Heads.
+    predict_depth: bool = True
+    num_seg_classes: int = 0  # 0 => no segmentation head
+    min_depth: float = 0.1
+    max_depth: float = 20.0
+    norm_groups: int = 8
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+
+    @property
+    def bottleneck_stride(self) -> int:
+        return 2 ** len(self.encoder_channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    num_robots: int = 5
+    scenes_per_batch: int = 4
+    image_size: Tuple[int, int] = (64, 64)
+    num_seg_classes: int = 6  # including background class 0
+    num_train_scenes: int = 512
+    num_eval_scenes: int = 64
+    seed: int = 0
+    # Static padded capacities; None => exact fit for homogeneous teams.
+    max_nodes: int | None = None
+    max_edges: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    steps: int = 1000
+    learning_rate: float = 3e-4
+    warmup_steps: int = 100
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 1.0
+    depth_loss_weight: float = 1.0
+    seg_loss_weight: float = 1.0
+    log_every: int = 50
+    checkpoint_every: int = 500
+    checkpoint_dir: str = ""
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    # Mesh axes: data (scene-graph batch shards) x graph (edge partitions).
+    data_axis_size: int = 1
+    graph_axis_size: int = 1
+    # Backend for the fusion ops: "xla" | "pallas".
+    ops_impl: str = "xla"
+    # Overlap boundary feature exchange with local aggregation (config 5).
+    overlap_boundary_exchange: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model: ModelConfig
+    data: DataConfig
+    train: TrainConfig
+    parallel: ParallelConfig = ParallelConfig()
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _preset_single_robot_depth() -> ExperimentConfig:
+    """Config 1 (BASELINE.json:7): CNN encoder-decoder depth, no GNN,
+    CPU-runnable tiny images. Parity anchor + CI config."""
+    return ExperimentConfig(
+        name="single_robot_depth",
+        model=ModelConfig(image_size=(32, 32), encoder_channels=(16, 32, 64),
+                          fusion="none", num_seg_classes=0),
+        data=DataConfig(num_robots=1, scenes_per_batch=8, image_size=(32, 32)),
+        train=TrainConfig(steps=300, learning_rate=1e-3),
+    )
+
+
+def _preset_two_robot_mean() -> ExperimentConfig:
+    """Config 2 (BASELINE.json:8): 2-robot graph, one message-passing layer,
+    mean aggregation, depth head."""
+    return ExperimentConfig(
+        name="two_robot_mean",
+        model=ModelConfig(image_size=(32, 32), encoder_channels=(16, 32, 64),
+                          fusion="mean", num_fusion_layers=1, num_seg_classes=0),
+        data=DataConfig(num_robots=2, scenes_per_batch=4, image_size=(32, 32)),
+        train=TrainConfig(steps=500, learning_rate=1e-3),
+    )
+
+
+def _preset_five_robot_attention() -> ExperimentConfig:
+    """Config 3 (BASELINE.json:9): 5-robot fully-connected graph with learned
+    edge-attention message passing."""
+    return ExperimentConfig(
+        name="five_robot_attention",
+        model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
+                          fusion="attention", num_fusion_layers=1,
+                          attention_dim=64, num_seg_classes=0),
+        data=DataConfig(num_robots=5, scenes_per_batch=4, image_size=(64, 64)),
+        train=TrainConfig(steps=1000),
+    )
+
+
+def _preset_multitask_batched() -> ExperimentConfig:
+    """Config 4 (BASELINE.json:10): depth + segmentation heads over fused GNN
+    features, batched scene-graphs."""
+    return ExperimentConfig(
+        name="multitask_batched",
+        model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
+                          fusion="attention", num_fusion_layers=1,
+                          num_seg_classes=6),
+        data=DataConfig(num_robots=5, scenes_per_batch=8, image_size=(64, 64),
+                        num_seg_classes=6),
+        train=TrainConfig(steps=1000, seg_loss_weight=0.5),
+    )
+
+
+def _preset_swarm_partitioned() -> ExperimentConfig:
+    """Config 5 (BASELINE.json:11): large batched swarm graphs edge-partitioned
+    across a device mesh with overlapped boundary exchange. No reference
+    counterpart — correctness oracle is config 4 run unpartitioned."""
+    return ExperimentConfig(
+        name="swarm_partitioned",
+        model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
+                          fusion="attention", num_fusion_layers=1,
+                          num_seg_classes=6),
+        data=DataConfig(num_robots=8, scenes_per_batch=16, image_size=(64, 64),
+                        num_seg_classes=6),
+        train=TrainConfig(steps=1000, seg_loss_weight=0.5),
+        parallel=ParallelConfig(data_axis_size=1, graph_axis_size=8,
+                                ops_impl="xla"),
+    )
+
+
+PRESETS = {
+    "single_robot_depth": _preset_single_robot_depth,
+    "two_robot_mean": _preset_two_robot_mean,
+    "five_robot_attention": _preset_five_robot_attention,
+    "multitask_batched": _preset_multitask_batched,
+    "swarm_partitioned": _preset_swarm_partitioned,
+}
+
+
+def get_config(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise ValueError(f"unknown config {name!r}; choose from {sorted(PRESETS)}")
+    return PRESETS[name]()

@@ -1,0 +1,107 @@
+"""Batch pipeline: synthetic scenes -> padded static-shape node batches.
+
+The reference uses a torch DataLoader collating [B, N, 3, H, W] scene tensors
+(SURVEY.md section 3.1, reconstructed). Here batches are flattened to the
+node axis ([V, H, W, 3], V = scenes * robots padded to max_nodes) to match
+the GraphBatch layout, so the whole batch feeds the encoder as one conv
+batch and shards over the mesh's data axis by node blocks.
+
+Each batch dict: images [V,H,W,3] f32, depth [V,H,W] f32, seg [V,H,W] i32,
+graph: GraphBatch. Shapes are identical across steps => one jit compile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mrp_gnn_tpu.config import DataConfig
+from mrp_gnn_tpu.data.synthetic import SceneSpec, generate_scene
+from mrp_gnn_tpu.graph import GraphBatch, batch_fully_connected
+
+
+class SceneDataset:
+    """Deterministic map-style dataset of synthetic scenes."""
+
+    def __init__(self, cfg: DataConfig, split: str = "train"):
+        self.cfg = cfg
+        self.split = split
+        self.num_scenes = (cfg.num_train_scenes if split == "train"
+                           else cfg.num_eval_scenes)
+        # Disjoint seed streams per split.
+        self._seed = cfg.seed * 2 + (0 if split == "train" else 1)
+        self.spec = SceneSpec(
+            num_robots=cfg.num_robots,
+            image_size=cfg.image_size,
+            num_classes=cfg.num_seg_classes,
+        )
+
+    def __len__(self) -> int:
+        return self.num_scenes
+
+    def __getitem__(self, idx: int) -> dict:
+        return generate_scene(self.spec, self._seed, idx)
+
+
+def _pad_nodes(arr: np.ndarray, max_nodes: int) -> np.ndarray:
+    pad = max_nodes - arr.shape[0]
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+
+class BatchIterator:
+    """Yields padded node-flattened batches with a constant GraphBatch.
+
+    Homogeneous teams => the graph topology is identical every step and built
+    once; only pixel data changes (cheap host work, static device shapes).
+    """
+
+    def __init__(self, dataset: SceneDataset, scenes_per_batch: int,
+                 max_nodes: int | None = None, max_edges: int | None = None,
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True):
+        self.ds = dataset
+        self.bs = scenes_per_batch
+        n = dataset.cfg.num_robots
+        self.graph = batch_fully_connected(
+            scenes_per_batch, n,
+            max_nodes=max_nodes or scenes_per_batch * n,
+            max_edges=max_edges or max(scenes_per_batch * n * (n - 1), 1),
+        )
+        self.max_nodes = self.graph.max_nodes
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng([self.seed, self._epoch])
+            rng.shuffle(order)
+        self._epoch += 1
+        for start in range(0, len(order) - self.bs + 1, self.bs):
+            scenes = [self.ds[int(i)] for i in order[start:start + self.bs]]
+            images = np.concatenate([s["images"] for s in scenes])
+            depth = np.concatenate([s["depth"] for s in scenes])
+            seg = np.concatenate([s["seg"] for s in scenes])
+            yield {
+                "images": _pad_nodes(images, self.max_nodes),
+                "depth": _pad_nodes(depth, self.max_nodes),
+                "seg": _pad_nodes(seg, self.max_nodes),
+                "graph": self.graph,
+            }
+
+    def repeat(self):
+        while True:
+            yield from self
+
+
+def make_dataset(cfg: DataConfig, split: str = "train",
+                 shuffle: bool | None = None) -> BatchIterator:
+    ds = SceneDataset(cfg, split)
+    return BatchIterator(
+        ds, cfg.scenes_per_batch,
+        max_nodes=cfg.max_nodes, max_edges=cfg.max_edges,
+        shuffle=(split == "train") if shuffle is None else shuffle,
+        seed=cfg.seed,
+    )

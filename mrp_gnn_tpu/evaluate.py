@@ -1,0 +1,88 @@
+"""Evaluation: checkpoint load -> jitted forward -> depth / seg metrics.
+
+Mirrors the reference's eval script outputs (depth RMSE / AbsRel / delta
+accuracies, seg mIoU — SURVEY.md section 3.2, BASELINE.json:2) with a
+jit-compiled metric accumulator.
+
+CLI: python -m mrp_gnn_tpu.evaluate --config five_robot_attention \
+        --checkpoint_dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mrp_gnn_tpu import metrics as M
+from mrp_gnn_tpu.config import ExperimentConfig, get_config
+from mrp_gnn_tpu.data.pipeline import make_dataset
+from mrp_gnn_tpu.models import MultiRobotPerceptionNet
+from mrp_gnn_tpu.train import TrainState, create_train_state
+
+
+def evaluate(cfg: ExperimentConfig, params: Any) -> dict:
+    """Run the eval split; returns a flat dict of float metrics."""
+    model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl)
+    num_classes = cfg.model.num_seg_classes
+
+    @jax.jit
+    def eval_step(params, images, depth, seg, graph):
+        out = model.apply(params, images, graph)
+        res = {}
+        if "depth" in out:
+            res["depth"] = M.depth_metrics_accumulate(out["depth"], depth,
+                                                      graph.node_mask)
+        if "seg_logits" in out:
+            res["conf"] = M.seg_confusion_accumulate(out["seg_logits"], seg,
+                                                     graph.node_mask, num_classes)
+        return res
+
+    acc = None
+    n_batches = 0
+    for batch in make_dataset(cfg.data, "eval", shuffle=False):
+        res = eval_step(params, jnp.asarray(batch["images"]),
+                        jnp.asarray(batch["depth"]),
+                        jnp.asarray(batch["seg"]), batch["graph"])
+        acc = res if acc is None else M.tree_add(acc, res)
+        n_batches += 1
+    if acc is None:
+        raise ValueError("eval split produced no batches")
+
+    out = {"eval_batches": n_batches}
+    if "depth" in acc:
+        out.update({k: float(v) for k, v in
+                    M.depth_metrics_finalize(acc["depth"]).items()})
+    if "conf" in acc:
+        out["miou"] = float(M.seg_miou(acc["conf"]))
+    return out
+
+
+def main(argv=None):
+    from mrp_gnn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint_dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    sample = next(iter(make_dataset(cfg.data, "eval", shuffle=False)))
+    state, _ = create_train_state(cfg, jax.random.PRNGKey(0), sample)
+    if args.checkpoint_dir:
+        from mrp_gnn_tpu.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
+        state = restored
+        print(f"[eval] restored step {mgr.latest_step}")
+    results = evaluate(cfg, state.params)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Robot-graph message-passing fusion layer.
+
+The reference fuses robot feature maps with dense per-pair attention over an
+N x N adjacency (SURVEY.md section 3.3, reconstructed — reference mount
+empty). Here the same math runs sparse over the batched padded edge list:
+
+    SDDMM  : per-edge attention logits from (dst query, src key) vectors
+    segment_softmax : normalize over each destination's in-edges
+    SpMM   : attention-weighted scatter-add of source value feature maps
+    update : 1x1-conv fuse of ego features with the aggregated message
+
+so one jitted program covers any number of scenes/robots, and the edge ops
+swap between the XLA reference path and Pallas TPU kernels
+(mrp_gnn_tpu.ops.dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from mrp_gnn_tpu.graph import GraphBatch
+from mrp_gnn_tpu.ops import dispatch
+
+
+def default_edge_fusion(ops, aggregation: str, q, k, flat_values,
+                        graph: GraphBatch) -> jnp.ndarray:
+    """Single-device edge block: SDDMM -> segment-softmax -> SpMM.
+
+    The partitioned path (mrp_gnn_tpu.parallel.fused) provides a shard_map'd
+    drop-in replacement with the same signature.
+    """
+    V = flat_values.shape[0]
+    if aggregation == "attention":
+        logits = ops.sddmm(q, k, graph.edge_src, graph.edge_dst, graph.edge_mask)
+        logits = logits / np.sqrt(q.shape[-1])
+        alpha = ops.segment_softmax(logits, graph.edge_dst, V, graph.edge_mask)
+        return ops.spmm(alpha, flat_values, graph.edge_src, graph.edge_dst, V,
+                        graph.edge_mask)
+    if aggregation == "mean":
+        return ops.segment_mean_agg(flat_values, graph.edge_src, graph.edge_dst,
+                                    V, graph.edge_mask)
+    raise ValueError(f"unknown aggregation {aggregation!r}")
+
+
+class GraphFusionLayer(nn.Module):
+    """One round of cross-robot message passing on bottleneck feature maps.
+
+    aggregation: "mean" (config two_robot_mean) or "attention"
+    (five_robot_attention and up).
+    """
+
+    aggregation: str = "attention"
+    attention_dim: int = 64
+    norm_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+    ops_impl: str = "xla"
+    # Optional override of the whole edge block, signature
+    # (ops, aggregation, q, k, flat_values, graph) -> msg [V, D]; the
+    # partitioned path (mrp_gnn_tpu.parallel) injects its shard_map'd version.
+    edge_fusion_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, graph: GraphBatch) -> jnp.ndarray:
+        """feats: [V, h, w, C] bottleneck maps -> fused [V, h, w, C]."""
+        V, h, w, C = feats.shape
+        ops = dispatch.get_ops(self.ops_impl)
+        edge_fn = self.edge_fusion_fn or default_edge_fusion
+
+        # Values: 1x1-conv transform of the source feature map.
+        values = nn.Conv(C, (1, 1), dtype=self.dtype, name="value")(feats)
+        flat_values = values.reshape(V, h * w * C)
+
+        if self.aggregation == "attention":
+            # Edge scores from globally-pooled descriptors: cheap relative to
+            # the value SpMM, and matches the reference's per-pair scalar
+            # attention over pooled features (SURVEY.md 3.3).
+            pooled = feats.mean(axis=(1, 2))  # [V, C]
+            q = nn.Dense(self.attention_dim, dtype=self.dtype, name="query")(pooled)
+            k = nn.Dense(self.attention_dim, dtype=self.dtype, name="key")(pooled)
+        else:
+            q = k = None
+        msg = edge_fn(ops, self.aggregation, q, k, flat_values, graph)
+
+        msg = msg.reshape(V, h, w, C)
+        # Fuse ego features with the aggregated neighbourhood message.
+        fused = jnp.concatenate([feats, msg], axis=-1)
+        fused = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="update")(fused)
+        fused = nn.GroupNorm(num_groups=min(self.norm_groups, C),
+                             dtype=self.dtype, name="update_norm")(fused)
+        out = feats + nn.relu(fused)
+        # Zero padded node slots so downstream stats/decoders never see them.
+        return out * graph.node_mask[:, None, None, None].astype(out.dtype)

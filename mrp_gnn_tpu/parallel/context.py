@@ -1,0 +1,65 @@
+"""Parallel training context: mesh + partition plan + shardings, wired together.
+
+Config 5 (swarm_partitioned, BASELINE.json:11) trains with node arrays
+block-sharded over a ("data", "graph") mesh and the fusion edge block
+replaced by the shard_map'd partitioned version. This module assembles those
+pieces from an ExperimentConfig; everything else in the trainer is unchanged
+(the same jitted step runs single-device when the mesh is 1x1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mrp_gnn_tpu.config import ExperimentConfig
+from mrp_gnn_tpu.graph import GraphBatch
+from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+from mrp_gnn_tpu.parallel.mesh import make_mesh
+from mrp_gnn_tpu.parallel.partition import EdgePartitionPlan, partition_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelContext:
+    mesh: Mesh
+    plan: EdgePartitionPlan
+    edge_fusion_fn: Callable
+    node_sharding: NamedSharding      # [V, ...] arrays
+    replicated: NamedSharding
+
+    def shard_batch(self, batch: dict) -> dict:
+        """Place a host batch onto the mesh with node-axis sharding."""
+        import jax.numpy as jnp
+        out = {}
+        for k, v in batch.items():
+            if k == "graph":
+                out[k] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.replicated), v)
+            else:
+                out[k] = jax.device_put(jnp.asarray(v), self.node_sharding)
+        return out
+
+
+def make_parallel_context(cfg: ExperimentConfig,
+                          replica_graph: GraphBatch) -> Optional[ParallelContext]:
+    """Build mesh/plan/edge_fn for cfg; None when the mesh is trivial.
+
+    ``replica_graph`` is the per-data-replica GraphBatch (topology is
+    identical across data shards; node slots are replica-local).
+    """
+    pc = cfg.parallel
+    if pc.data_axis_size * pc.graph_axis_size <= 1:
+        return None
+    mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size)
+    plan = partition_graph(replica_graph, pc.graph_axis_size)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    return ParallelContext(
+        mesh=mesh,
+        plan=plan,
+        edge_fusion_fn=edge_fn,
+        node_sharding=NamedSharding(mesh, P(("data", "graph"))),
+        replicated=NamedSharding(mesh, P()),
+    )

@@ -1,0 +1,174 @@
+"""Training loop: jitted train step, optax optimizer, orbax checkpointing.
+
+The reference's train.py runs a plain epoch loop with Adam and torch.save
+checkpoints (SURVEY.md section 3.1, reconstructed — reference mount empty).
+TPU-native differences: the whole step (fwd, loss, bwd, update) is one jitted
+XLA program with donated state; batches stream host->device; checkpoints are
+async orbax saves of the full train-state pytree.
+
+CLI: python -m mrp_gnn_tpu.train --config five_robot_attention --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mrp_gnn_tpu.config import ExperimentConfig, get_config
+from mrp_gnn_tpu.data.pipeline import make_dataset
+from mrp_gnn_tpu.graph import GraphBatch
+from mrp_gnn_tpu.losses import total_loss
+from mrp_gnn_tpu.models import MultiRobotPerceptionNet
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.train.learning_rate,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.steps, cfg.train.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adamw(schedule, weight_decay=cfg.train.weight_decay),
+    )
+
+
+def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
+                       sample_batch: dict,
+                       edge_fusion_fn: Optional[Callable] = None) -> tuple:
+    """Initialize model params + optimizer state. Returns (state, model)."""
+    model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl,
+                                    edge_fusion_fn=edge_fusion_fn)
+    params = model.init(rng, jnp.asarray(sample_batch["images"]),
+                        sample_batch["graph"])
+    tx = make_optimizer(cfg)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    return state, model
+
+
+def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
+                    tx: optax.GradientTransformation,
+                    donate: bool = True) -> Callable:
+    def train_step(state: TrainState, images, depth, seg, graph: GraphBatch):
+        batch = {"depth": depth, "seg": seg}
+
+        def loss_fn(params):
+            out = model.apply(params, images, graph)
+            loss, terms = total_loss(out, batch, graph.node_mask,
+                                     cfg.train.depth_loss_weight,
+                                     cfg.train.seg_loss_weight)
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        terms["grad_norm"] = optax.global_norm(grads)
+        return new_state, terms
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def train(cfg: ExperimentConfig, num_steps: int | None = None,
+          log_fn: Callable[[dict], None] | None = None,
+          data_iter: Iterator[dict] | None = None) -> tuple:
+    """Run training; returns (final TrainState, list of logged records)."""
+    steps = num_steps if num_steps is not None else cfg.train.steps
+    it = data_iter if data_iter is not None else iter(
+        make_dataset(cfg.data, "train").repeat())
+    first = next(it)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, model = create_train_state(cfg, rng, first)
+    tx = make_optimizer(cfg)
+    step_fn = make_train_step(cfg, model, tx)
+
+    ckpt_mgr = None
+    if cfg.train.checkpoint_dir:
+        from mrp_gnn_tpu.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+
+    records = []
+    batch = first
+    t0 = time.perf_counter()
+    start_step = int(state.step)
+    for i in range(start_step, steps):
+        state, terms = step_fn(state, jnp.asarray(batch["images"]),
+                               jnp.asarray(batch["depth"]),
+                               jnp.asarray(batch["seg"]), batch["graph"])
+        if (i + 1) % cfg.train.log_every == 0 or i == steps - 1:
+            terms = jax.device_get(terms)
+            rec = {"step": i + 1,
+                   **{k: float(v) for k, v in terms.items()},
+                   "wall_s": time.perf_counter() - t0}
+            records.append(rec)
+            if log_fn:
+                log_fn(rec)
+        if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
+                         or i == steps - 1):
+            ckpt_mgr.save(i + 1, state)
+        batch = next(it)
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    return state, records
+
+
+def main(argv=None):
+    from mrp_gnn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--log_every", type=int, default=None)
+    p.add_argument("--train_scenes", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    tr = cfg.train
+    if args.lr is not None:
+        tr = dataclasses.replace(tr, learning_rate=args.lr)
+    if args.checkpoint_dir is not None:
+        tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
+    if args.log_every is not None:
+        tr = dataclasses.replace(tr, log_every=args.log_every)
+    if args.steps is not None:
+        tr = dataclasses.replace(tr, steps=args.steps)
+    cfg = cfg.replace(train=tr)
+    if args.train_scenes is not None:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, num_train_scenes=args.train_scenes))
+
+    print(f"[train] config={cfg.name} steps={cfg.train.steps} "
+          f"backend={jax.default_backend()} devices={jax.device_count()}")
+    _, records = train(cfg, log_fn=lambda r: print(json.dumps(r)))
+    if records:
+        print(f"[train] final loss {records[-1]['total']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

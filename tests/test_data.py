@@ -1,0 +1,65 @@
+import numpy as np
+
+from mrp_gnn_tpu.config import DataConfig
+from mrp_gnn_tpu.data.pipeline import SceneDataset, make_dataset
+from mrp_gnn_tpu.data.synthetic import SceneSpec, generate_scene
+
+
+def test_scene_determinism_and_schema():
+    spec = SceneSpec(num_robots=3, image_size=(32, 32), num_classes=4)
+    a = generate_scene(spec, seed=7, scene_index=2)
+    b = generate_scene(spec, seed=7, scene_index=2)
+    for k in ("images", "depth", "seg"):
+        np.testing.assert_array_equal(a[k], b[k])
+    assert a["images"].shape == (3, 32, 32, 3)
+    assert a["images"].dtype == np.float32
+    assert a["images"].min() >= 0 and a["images"].max() <= 1
+    assert a["depth"].shape == (3, 32, 32)
+    assert (a["depth"] > 0).all()
+    assert a["seg"].shape == (3, 32, 32)
+    assert a["seg"].min() >= 0 and a["seg"].max() < 4
+    c = generate_scene(spec, seed=7, scene_index=3)
+    assert not np.array_equal(a["depth"], c["depth"])
+
+
+def test_parallax_views_differ_but_share_world():
+    spec = SceneSpec(num_robots=5, image_size=(64, 64))
+    s = generate_scene(spec, seed=0, scene_index=0)
+    # different viewpoints -> different depth maps
+    assert not np.array_equal(s["depth"][0], s["depth"][4])
+    # but the same set of object depths is visible overall
+    d0 = set(np.round(np.unique(s["depth"][0]), 3))
+    d4 = set(np.round(np.unique(s["depth"][4]), 3))
+    assert len(d0 & d4) >= 3
+
+
+def test_batch_iterator_shapes_static():
+    cfg = DataConfig(num_robots=3, scenes_per_batch=2, image_size=(32, 32),
+                     num_train_scenes=7, num_eval_scenes=4)
+    it = make_dataset(cfg, "train")
+    batches = list(it)
+    assert len(batches) == 3  # 7 // 2, remainder dropped
+    for b in batches:
+        assert b["images"].shape == (6, 32, 32, 3)
+        assert b["depth"].shape == (6, 32, 32)
+        assert b["seg"].shape == (6, 32, 32)
+        assert int(b["graph"].n_nodes) == 6
+    # same topology object every step (one jit compile)
+    assert batches[0]["graph"] is batches[1]["graph"]
+
+
+def test_train_eval_splits_disjoint():
+    cfg = DataConfig(num_robots=2, scenes_per_batch=2, image_size=(32, 32))
+    tr = SceneDataset(cfg, "train")[0]
+    ev = SceneDataset(cfg, "eval")[0]
+    assert not np.array_equal(tr["depth"], ev["depth"])
+
+
+def test_shuffle_changes_between_epochs():
+    cfg = DataConfig(num_robots=1, scenes_per_batch=1, image_size=(32, 32),
+                     num_train_scenes=16)
+    it = make_dataset(cfg, "train")
+    e1 = [b["depth"].sum() for b in it]
+    e2 = [b["depth"].sum() for b in it]
+    assert sorted(e1) == sorted(e2)
+    assert e1 != e2

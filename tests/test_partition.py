@@ -1,0 +1,114 @@
+"""Distributed-without-a-cluster tests (SURVEY.md section 4.2): the
+partitioned fusion path must be allclose to the unpartitioned single-device
+run, on 8 virtual CPU devices (conftest sets the XLA flag)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrp_gnn_tpu.graph import batch_fully_connected
+from mrp_gnn_tpu.models.fusion import default_edge_fusion
+from mrp_gnn_tpu.ops import dispatch
+from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+from mrp_gnn_tpu.parallel.mesh import make_mesh
+from mrp_gnn_tpu.parallel.partition import boundary_fraction, partition_graph
+
+OPS = dispatch.get_ops("xla")
+
+
+def test_mesh_needs_enough_devices():
+    with pytest.raises(ValueError):
+        make_mesh(4, 4)  # only 8 cpu devices
+
+
+def test_partition_plan_structure():
+    # 2 scenes x 8 robots = 16 nodes over 4 shards -> scenes straddle shards
+    gb = batch_fully_connected(2, 8)
+    plan = partition_graph(gb, 4)
+    assert plan.nodes_per_shard == 4
+    src = np.asarray(plan.src_global)
+    dst = np.asarray(plan.dst_local)
+    m = np.asarray(plan.mask)
+    lm = np.asarray(plan.local_mask)
+    # every valid edge's dst is local to its shard
+    assert (dst[m] >= 0).all() and (dst[m] < 4).all()
+    # total edges preserved
+    assert m.sum() == int(gb.n_edges)
+    # local_mask consistent with ownership
+    for p in range(4):
+        sel = m[p]
+        assert (lm[p][sel] == ((src[p][sel] // 4) == p)).all()
+    # fully-connected 8-robot scenes over 4-node shards: most edges boundary
+    assert boundary_fraction(plan) > 0.5
+
+
+def test_partition_requires_divisible_nodes():
+    gb = batch_fully_connected(1, 5)
+    with pytest.raises(ValueError):
+        partition_graph(gb, 4)
+
+
+def _run_both(aggregation, data_ax, graph_ax, seed=0):
+    """Partitioned vs unpartitioned edge fusion on the same inputs."""
+    n_scenes_per_replica, robots = 2, 8
+    gb_rep = batch_fully_connected(n_scenes_per_replica, robots)
+    V_rep = gb_rep.max_nodes
+    V_tot = V_rep * data_ax
+    D, dk = 24, 8
+
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(V_tot, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V_tot, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V_tot, D)).astype(np.float32))
+
+    # oracle: per data replica, unpartitioned
+    outs = []
+    for d in range(data_ax):
+        s = slice(d * V_rep, (d + 1) * V_rep)
+        outs.append(default_edge_fusion(OPS, aggregation, q[s], k[s], v[s], gb_rep))
+    expected = jnp.concatenate(outs)
+
+    mesh = make_mesh(data_ax, graph_ax)
+    plan = partition_graph(gb_rep, graph_ax)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    got = jax.jit(lambda q, k, v: edge_fn(OPS, aggregation, q, k, v, gb_rep))(q, k, v)
+    return np.asarray(expected), np.asarray(got)
+
+
+@pytest.mark.parametrize("aggregation", ["attention", "mean"])
+def test_partitioned_matches_unpartitioned_graph_only(aggregation):
+    expected, got = _run_both(aggregation, data_ax=1, graph_ax=8)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_matches_unpartitioned_data_x_graph():
+    expected, got = _run_both("attention", data_ax=2, graph_ax=4)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_gradients_match():
+    gb = batch_fully_connected(2, 8)
+    V, D, dk = gb.max_nodes, 12, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+
+    mesh = make_mesh(1, 8)
+    plan = partition_graph(gb, 8)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+
+    def loss_ref(args):
+        q, k, v = args
+        return jnp.sum(default_edge_fusion(OPS, "attention", q, k, v, gb) ** 2)
+
+    def loss_part(args):
+        q, k, v = args
+        return jnp.sum(edge_fn(OPS, "attention", q, k, v, gb) ** 2)
+
+    g_ref = jax.grad(loss_ref)((q, k, v))
+    g_part = jax.jit(jax.grad(loss_part))((q, k, v))
+    for a, b in zip(g_ref, g_part):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
