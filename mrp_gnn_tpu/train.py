@@ -89,6 +89,34 @@ def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def replica_graph_for(cfg: ExperimentConfig) -> GraphBatch:
+    """Per-data-replica GraphBatch for the partitioned path (config 5).
+
+    The parallel layout needs node slots to tile exactly: scenes divide over
+    data shards and each replica's nodes divide over graph shards with no
+    trailing padding (padding would interleave between replicas otherwise).
+    """
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    pc, d = cfg.parallel, cfg.data
+    if d.scenes_per_batch % pc.data_axis_size:
+        raise ValueError(f"scenes_per_batch={d.scenes_per_batch} not divisible "
+                         f"by data_axis_size={pc.data_axis_size}")
+    scenes_rep = d.scenes_per_batch // pc.data_axis_size
+    v_rep = scenes_rep * d.num_robots
+    if v_rep % pc.graph_axis_size:
+        raise ValueError(f"replica nodes {v_rep} not divisible by "
+                         f"graph_axis_size={pc.graph_axis_size}")
+    return batch_fully_connected(scenes_rep, d.num_robots)
+
+
+def make_parallel(cfg: ExperimentConfig):
+    """ParallelContext for cfg, or None for a trivial 1x1 mesh."""
+    from mrp_gnn_tpu.parallel.context import make_parallel_context
+    if cfg.parallel.data_axis_size * cfg.parallel.graph_axis_size <= 1:
+        return None
+    return make_parallel_context(cfg, replica_graph_for(cfg))
+
+
 def train(cfg: ExperimentConfig, num_steps: int | None = None,
           log_fn: Callable[[dict], None] | None = None,
           data_iter: Iterator[dict] | None = None) -> tuple:
@@ -98,8 +126,14 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         make_dataset(cfg.data, "train").repeat())
     first = next(it)
 
+    pctx = make_parallel(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state, model = create_train_state(cfg, rng, first)
+    state, model = create_train_state(
+        cfg, rng, first,
+        edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
+    if pctx is not None:
+        state = jax.device_put(state, pctx.replicated)
+        first = pctx.shard_batch(first)
     tx = make_optimizer(cfg)
     step_fn = make_train_step(cfg, model, tx)
 
@@ -116,6 +150,8 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     t0 = time.perf_counter()
     start_step = int(state.step)
     for i in range(start_step, steps):
+        if pctx is not None and i > start_step:
+            batch = pctx.shard_batch(batch)
         state, terms = step_fn(state, jnp.asarray(batch["images"]),
                                jnp.asarray(batch["depth"]),
                                jnp.asarray(batch["seg"]), batch["graph"])
