@@ -20,6 +20,7 @@ ops in :mod:`mrp_gnn_tpu.ops` are mask-aware so padding never changes results
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -27,7 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["edge_src", "edge_dst", "node_mask", "edge_mask",
+                      "node_scene", "n_nodes", "n_edges", "scene_adj"],
+         meta_fields=["scene_stride"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
     """A batch of scene graphs flattened into one padded graph.
@@ -44,6 +48,13 @@ class GraphBatch:
       node_scene: int32[max_nodes] scene id of each node (0 for padding).
       n_nodes: int32 scalar, number of valid nodes.
       n_edges: int32 scalar, number of valid edges.
+      scene_stride: static int. When > 0 the batch is BLOCK-DIAGONAL: every
+        scene has the same topology and node i of scene s sits at slot
+        s * scene_stride + i (max_nodes a multiple of the stride). This
+        unlocks the dense block fusion path (batched masked attention on the
+        MXU) instead of edge-list gather/scatter — the TPU-native fast path.
+      scene_adj: float32 [stride, stride] shared per-scene adjacency
+        (adj[dst, src] = 1.0 for an edge), or None when scene_stride == 0.
     """
 
     edge_src: jax.Array
@@ -53,6 +64,8 @@ class GraphBatch:
     node_scene: jax.Array
     n_nodes: jax.Array
     n_edges: jax.Array
+    scene_adj: jax.Array | None = None
+    scene_stride: int = 0
 
     @property
     def max_nodes(self) -> int:
@@ -61,6 +74,12 @@ class GraphBatch:
     @property
     def max_edges(self) -> int:
         return self.edge_mask.shape[0]
+
+    @property
+    def num_scene_blocks(self) -> int:
+        if not self.scene_stride:
+            raise ValueError("graph has no block-diagonal layout")
+        return self.max_nodes // self.scene_stride
 
 
 def fully_connected_edges(num_robots: int, self_loops: bool = False) -> np.ndarray:
@@ -145,13 +164,25 @@ def batch_fully_connected(
     max_edges: int | None = None,
     self_loops: bool = False,
 ) -> GraphBatch:
-    """GraphBatch for ``num_scenes`` identical fully-connected teams."""
+    """GraphBatch for ``num_scenes`` identical fully-connected teams.
+
+    When every scene has the same size and max_nodes is a multiple of it,
+    the batch is tagged block-diagonal (scene_stride / scene_adj), enabling
+    the dense MXU fusion path.
+    """
     edges = fully_connected_edges(robots_per_scene, self_loops)
     n_nodes = num_scenes * robots_per_scene
     n_edges = num_scenes * edges.shape[1]
-    return build_graph_batch(
+    gb = build_graph_batch(
         [edges] * num_scenes,
         [robots_per_scene] * num_scenes,
         max_nodes=max_nodes or n_nodes,
         max_edges=max_edges or max(n_edges, 1),
     )
+    n = robots_per_scene
+    if gb.max_nodes % n == 0:
+        adj = np.zeros((n, n), np.float32)
+        adj[edges[1], edges[0]] = 1.0  # adj[dst, src]
+        gb = dataclasses.replace(gb, scene_adj=jnp.asarray(adj),
+                                 scene_stride=n)
+    return gb

@@ -34,13 +34,18 @@ def default_edge_fusion(ops, aggregation: str, q, k, flat_values,
     drop-in replacement with the same signature.
     """
     V = flat_values.shape[0]
+    block = graph.scene_stride > 0
     if aggregation == "attention":
+        if block and ops.block_fused_attention is not None:
+            return ops.block_fused_attention(q, k, flat_values, graph)
         logits = ops.sddmm(q, k, graph.edge_src, graph.edge_dst, graph.edge_mask)
         logits = logits / np.sqrt(q.shape[-1])
         alpha = ops.segment_softmax(logits, graph.edge_dst, V, graph.edge_mask)
         return ops.spmm(alpha, flat_values, graph.edge_src, graph.edge_dst, V,
                         graph.edge_mask)
     if aggregation == "mean":
+        if block and ops.block_mean_agg is not None:
+            return ops.block_mean_agg(flat_values, graph)
         return ops.segment_mean_agg(flat_values, graph.edge_src, graph.edge_dst,
                                     V, graph.edge_mask)
     raise ValueError(f"unknown aggregation {aggregation!r}")

@@ -19,17 +19,23 @@ class EdgeOps:
     segment_softmax: Callable
     spmm: Callable
     segment_mean_agg: Callable
+    # Dense fast path for block-diagonal scene batches (None = unsupported;
+    # callers fall back to the edge-list ops above).
+    block_fused_attention: Callable | None = None
+    block_mean_agg: Callable | None = None
 
 
 def _xla_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import reference as R
-    return EdgeOps(R.sddmm, R.segment_softmax, R.spmm, R.segment_mean_agg)
+    return EdgeOps(R.sddmm, R.segment_softmax, R.spmm, R.segment_mean_agg,
+                   R.block_fused_attention, R.block_mean_agg)
 
 
 def _pallas_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import reference as R
     from mrp_gnn_tpu.ops import pallas_edge as P
-    return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg)
+    return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
+                   P.block_fused_attention, R.block_mean_agg)
 
 
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Large-but-finite negative used to mask softmax logits. -inf would produce
 # NaN (inf - inf) for destination nodes whose in-edges are all padding.
@@ -79,6 +80,52 @@ def spmm(edge_weights: jax.Array, values: jax.Array, edge_src: jax.Array,
         w = jnp.where(edge_mask, w, 0.0)
     msgs = values[edge_src] * w[:, None]
     return jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes)
+
+
+def block_fused_attention(q: jax.Array, k: jax.Array, values: jax.Array,
+                          graph) -> jax.Array:
+    """Fused attention message passing for BLOCK-DIAGONAL scene batches.
+
+    With every scene sharing one topology at a fixed node stride
+    (GraphBatch.scene_stride), the whole SDDMM -> softmax -> SpMM chain is
+    batched dense masked attention over [S, n, .] blocks: pure MXU matmuls,
+    each value row read exactly once — no gather/scatter at all. This is the
+    XLA oracle for the Pallas kernel of the same name.
+
+    q/k: [V, dk]; values: [V, D]. Returns [V, D].
+    """
+    n = graph.scene_stride
+    S = graph.max_nodes // n
+    dk = q.shape[-1]
+    qb = q.reshape(S, n, dk)
+    kb = k.reshape(S, n, dk)
+    vb = values.reshape(S, n, -1)
+    valid = graph.node_mask.reshape(S, n)
+
+    logits = jnp.einsum("sid,sjd->sij", qb, kb) / np.sqrt(dk)
+    # adj[dst, src] == 1 AND source node valid; invalid/absent -> -inf-like.
+    bias = jnp.where((graph.scene_adj[None] > 0) & valid[:, None, :], 0.0, _NEG)
+    logits = logits + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - jax.lax.stop_gradient(jnp.maximum(m, _NEG / 2)))
+    denom = e.sum(-1, keepdims=True)
+    alpha = e / jnp.maximum(denom, 1e-30)
+    # zero out rows whose in-edges are all masked (denom underflow guard)
+    alpha = jnp.where(denom > 1e-20, alpha, 0.0)
+    out = jnp.einsum("sij,sjd->sid", alpha, vb)
+    return out.reshape(graph.max_nodes, -1)
+
+
+def block_mean_agg(values: jax.Array, graph) -> jax.Array:
+    """Mean aggregation for block-diagonal scene batches (dense path)."""
+    n = graph.scene_stride
+    S = graph.max_nodes // n
+    vb = values.reshape(S, n, -1)
+    valid = graph.node_mask.reshape(S, n)
+    w = graph.scene_adj[None] * valid[:, None, :]          # [S, dst, src]
+    deg = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
+    out = jnp.einsum("sij,sjd->sid", w / deg, vb)
+    return out.reshape(graph.max_nodes, -1)
 
 
 def segment_mean_agg(values: jax.Array, edge_src: jax.Array, edge_dst: jax.Array,
