@@ -44,6 +44,10 @@ class DataConfig:
     num_train_scenes: int = 512
     num_eval_scenes: int = 64
     seed: int = 0
+    # Robot-graph connectivity: "full" or "radius" (communication range in
+    # robot-index distance; robots sit along the camera baseline).
+    connectivity: str = "full"
+    comm_radius: int = 0
     # Static padded capacities; None => exact fit for homogeneous teams.
     max_nodes: int | None = None
     max_edges: int | None = None
@@ -147,8 +151,11 @@ def _preset_swarm_partitioned() -> ExperimentConfig:
         model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
                           fusion="attention", num_fusion_layers=1,
                           num_seg_classes=6),
-        data=DataConfig(num_robots=8, scenes_per_batch=16, image_size=(64, 64),
-                        num_seg_classes=6),
+        # 32-robot swarms with communication-radius connectivity; each swarm
+        # spans multiple graph shards, so boundary exchange is real.
+        data=DataConfig(num_robots=32, scenes_per_batch=8, image_size=(64, 64),
+                        num_seg_classes=6, connectivity="radius",
+                        comm_radius=4),
         train=TrainConfig(steps=1000, seg_loss_weight=0.5),
         parallel=ParallelConfig(data_axis_size=1, graph_axis_size=8,
                                 ops_impl="xla"),

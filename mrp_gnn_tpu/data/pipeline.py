@@ -16,7 +16,7 @@ import numpy as np
 
 from mrp_gnn_tpu.config import DataConfig
 from mrp_gnn_tpu.data.synthetic import SceneSpec, generate_scene
-from mrp_gnn_tpu.graph import GraphBatch, batch_fully_connected
+from mrp_gnn_tpu.graph import GraphBatch, batch_homogeneous, scene_edges_for
 
 
 class SceneDataset:
@@ -33,6 +33,9 @@ class SceneDataset:
             num_robots=cfg.num_robots,
             image_size=cfg.image_size,
             num_classes=cfg.num_seg_classes,
+            # constant parallax between adjacent robots regardless of team
+            # size (robots spread along the baseline; see radius_edges).
+            max_baseline=0.25 * max(cfg.num_robots - 1, 1),
         )
 
     def __len__(self) -> int:
@@ -61,11 +64,13 @@ class BatchIterator:
                  shuffle: bool = True, seed: int = 0, drop_remainder: bool = True):
         self.ds = dataset
         self.bs = scenes_per_batch
-        n = dataset.cfg.num_robots
-        self.graph = batch_fully_connected(
-            scenes_per_batch, n,
+        cfg = dataset.cfg
+        n = cfg.num_robots
+        edges = scene_edges_for(n, cfg.connectivity, cfg.comm_radius)
+        self.graph = batch_homogeneous(
+            scenes_per_batch, n, edges,
             max_nodes=max_nodes or scenes_per_batch * n,
-            max_edges=max_edges or max(scenes_per_batch * n * (n - 1), 1),
+            max_edges=max_edges or max(scenes_per_batch * edges.shape[1], 1),
         )
         self.max_nodes = self.graph.max_nodes
         self.shuffle = shuffle

@@ -100,6 +100,40 @@ def fully_connected_edges(num_robots: int, self_loops: bool = False) -> np.ndarr
     return np.stack([np.array(src, np.int32), np.array(dst, np.int32)])
 
 
+def radius_edges(num_robots: int, radius: int,
+                 self_loops: bool = False) -> np.ndarray:
+    """Communication-range graph: robots i, j connected iff |i - j| <= radius.
+
+    Models the reference's "fully connected within communication range"
+    (SURVEY.md section 0) for robots spread along the camera baseline (the
+    synthetic generator places robot i at offset i — see data/synthetic.py);
+    index distance is proportional to physical distance. Returns [2, E].
+    """
+    src, dst = [], []
+    for i in range(num_robots):
+        for j in range(num_robots):
+            if i == j and not self_loops:
+                continue
+            if abs(i - j) <= radius:
+                src.append(j)
+                dst.append(i)
+    if not src:
+        return np.zeros((2, 0), np.int32)
+    return np.stack([np.array(src, np.int32), np.array(dst, np.int32)])
+
+
+def scene_edges_for(num_robots: int, connectivity: str = "full",
+                    comm_radius: int = 0, self_loops: bool = False) -> np.ndarray:
+    """Edge list for one scene by connectivity kind: "full" | "radius"."""
+    if connectivity == "full":
+        return fully_connected_edges(num_robots, self_loops)
+    if connectivity == "radius":
+        if comm_radius <= 0:
+            raise ValueError("radius connectivity needs comm_radius > 0")
+        return radius_edges(num_robots, comm_radius, self_loops)
+    raise ValueError(f"unknown connectivity {connectivity!r}")
+
+
 def build_graph_batch(
     scene_edges: Sequence[np.ndarray],
     scene_num_nodes: Sequence[int],
@@ -157,20 +191,19 @@ def build_graph_batch(
     )
 
 
-def batch_fully_connected(
+def batch_homogeneous(
     num_scenes: int,
     robots_per_scene: int,
+    edges: np.ndarray,
     max_nodes: int | None = None,
     max_edges: int | None = None,
-    self_loops: bool = False,
 ) -> GraphBatch:
-    """GraphBatch for ``num_scenes`` identical fully-connected teams.
+    """GraphBatch for ``num_scenes`` scenes sharing one topology ``edges``.
 
-    When every scene has the same size and max_nodes is a multiple of it,
-    the batch is tagged block-diagonal (scene_stride / scene_adj), enabling
-    the dense MXU fusion path.
+    When max_nodes is a multiple of the scene size, the batch is tagged
+    block-diagonal (scene_stride / scene_adj), enabling the dense MXU fusion
+    path for ANY shared per-scene topology (fully-connected, radius, ...).
     """
-    edges = fully_connected_edges(robots_per_scene, self_loops)
     n_nodes = num_scenes * robots_per_scene
     n_edges = num_scenes * edges.shape[1]
     gb = build_graph_batch(
@@ -186,3 +219,17 @@ def batch_fully_connected(
         gb = dataclasses.replace(gb, scene_adj=jnp.asarray(adj),
                                  scene_stride=n)
     return gb
+
+
+def batch_fully_connected(
+    num_scenes: int,
+    robots_per_scene: int,
+    max_nodes: int | None = None,
+    max_edges: int | None = None,
+    self_loops: bool = False,
+) -> GraphBatch:
+    """GraphBatch for ``num_scenes`` identical fully-connected teams."""
+    return batch_homogeneous(
+        num_scenes, robots_per_scene,
+        fully_connected_edges(robots_per_scene, self_loops),
+        max_nodes=max_nodes, max_edges=max_edges)

@@ -96,7 +96,7 @@ def replica_graph_for(cfg: ExperimentConfig) -> GraphBatch:
     data shards and each replica's nodes divide over graph shards with no
     trailing padding (padding would interleave between replicas otherwise).
     """
-    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.graph import batch_homogeneous, scene_edges_for
     pc, d = cfg.parallel, cfg.data
     if d.scenes_per_batch % pc.data_axis_size:
         raise ValueError(f"scenes_per_batch={d.scenes_per_batch} not divisible "
@@ -106,7 +106,9 @@ def replica_graph_for(cfg: ExperimentConfig) -> GraphBatch:
     if v_rep % pc.graph_axis_size:
         raise ValueError(f"replica nodes {v_rep} not divisible by "
                          f"graph_axis_size={pc.graph_axis_size}")
-    return batch_fully_connected(scenes_rep, d.num_robots)
+    return batch_homogeneous(
+        scenes_rep, d.num_robots,
+        scene_edges_for(d.num_robots, d.connectivity, d.comm_radius))
 
 
 def make_parallel(cfg: ExperimentConfig):

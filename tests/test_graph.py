@@ -75,3 +75,27 @@ def test_graphbatch_is_pytree():
     assert len(leaves) == 8  # 7 graph arrays + scene_adj
     gb2 = jax.tree_util.tree_map(lambda x: x, gb)
     assert isinstance(gb2, GraphBatch)
+
+
+def test_radius_edges():
+    import numpy as np
+    from mrp_gnn_tpu.graph import radius_edges
+    e = radius_edges(5, 1)
+    pairs = set(zip(e[0].tolist(), e[1].tolist()))
+    assert pairs == {(j, i) for i in range(5) for j in range(5)
+                     if i != j and abs(i - j) <= 1}
+    # radius >= n-1 equals fully connected
+    from mrp_gnn_tpu.graph import fully_connected_edges
+    ef = fully_connected_edges(4)
+    er = radius_edges(4, 3)
+    assert set(zip(er[0].tolist(), er[1].tolist())) == \
+        set(zip(ef[0].tolist(), ef[1].tolist()))
+
+
+def test_batch_homogeneous_radius_block_metadata():
+    import numpy as np
+    from mrp_gnn_tpu.graph import batch_homogeneous, radius_edges
+    gb = batch_homogeneous(2, 8, radius_edges(8, 2))
+    assert gb.scene_stride == 8
+    adj = np.asarray(gb.scene_adj)
+    assert adj[0, 2] == 1 and adj[0, 3] == 0  # banded
