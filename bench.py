@@ -37,8 +37,9 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
 
     scenes, robots = V // 8, 8  # 8-robot swarm scenes
     gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
-    if force_sparse:  # strip block metadata -> edge-list gather/scatter path
-        gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)
+    if force_sparse:  # strip fast-path metadata -> edge-list scatter baseline
+        gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0,
+                                 ell_src=None, ell_mask=None)
     ops = dispatch.get_ops(ops_impl)
 
     rng = np.random.default_rng(0)

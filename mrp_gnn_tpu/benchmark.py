@@ -48,9 +48,15 @@ def time_chained(fn_body, init, inner: int, reps: int = 3):
 
 
 def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
-                 robots=8, inner=50, paths=("xla_sparse", "xla_block",
-                                            "pallas_block")) -> list:
-    """edges/s of the attention edge block per ops path."""
+                 robots=8, inner=50,
+                 paths=("xla_scatter", "xla_ell", "pallas_ell",
+                        "xla_block", "pallas_block")) -> list:
+    """edges/s of the attention edge block per ops path.
+
+    Paths: *_block = dense block-diagonal (MXU); *_ell = padded neighbour
+    list (gather, no scatter); xla_scatter = naive edge-list
+    gather/scatter-add baseline.
+    """
     import jax
     import jax.numpy as jnp
     from mrp_gnn_tpu.graph import batch_fully_connected
@@ -58,7 +64,8 @@ def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
     from mrp_gnn_tpu.ops import dispatch
 
     gb_block = batch_fully_connected(nodes // robots, robots)
-    gb_sparse = dataclasses.replace(gb_block, scene_adj=None, scene_stride=0)
+    gb_ell = dataclasses.replace(gb_block, scene_adj=None, scene_stride=0)
+    gb_scatter = dataclasses.replace(gb_ell, ell_src=None, ell_mask=None)
     E = int(np.asarray(gb_block.n_edges))
 
     rng = np.random.default_rng(0)
@@ -67,9 +74,10 @@ def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
     v = jnp.asarray(rng.normal(size=(nodes, feature_dim)).astype(np.float32))
 
     out = []
+    graphs = {"scatter": gb_scatter, "ell": gb_ell, "block": gb_block}
     for path in paths:
-        impl = "pallas" if path.startswith("pallas") else "xla"
-        gb = gb_sparse if path.endswith("sparse") else gb_block
+        impl, kind = path.split("_", 1)
+        gb = graphs[kind]
         ops = dispatch.get_ops(impl)
 
         def body(v, ops=ops, gb=gb):
@@ -191,15 +199,25 @@ def main(argv=None):
     p.add_argument("--config", default="five_robot_attention")
     p.add_argument("--inner", type=int, default=50)
     p.add_argument("--out", default=None, help="append JSONL to this file")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this directory")
     args = p.parse_args(argv)
 
     recs = []
-    if args.what in ("fusion", "all"):
-        recs += bench_fusion(args.nodes, args.feature_dim, inner=args.inner)
-    if args.what in ("train", "all"):
-        recs += bench_train(args.config)
-    if args.what in ("scaling", "all"):
-        recs += bench_scaling(inner=args.inner)
+    if args.profile:
+        from mrp_gnn_tpu.utils.profiling import trace
+        import contextlib
+        ctx = trace(args.profile)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        if args.what in ("fusion", "all"):
+            recs += bench_fusion(args.nodes, args.feature_dim, inner=args.inner)
+        if args.what in ("train", "all"):
+            recs += bench_train(args.config)
+        if args.what in ("scaling", "all"):
+            recs += bench_scaling(inner=args.inner)
     for r in recs:
         line = json.dumps(r)
         print(line)

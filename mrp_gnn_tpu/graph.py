@@ -30,7 +30,8 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["edge_src", "edge_dst", "node_mask", "edge_mask",
-                      "node_scene", "n_nodes", "n_edges", "scene_adj"],
+                      "node_scene", "n_nodes", "n_edges", "scene_adj",
+                      "ell_src", "ell_mask"],
          meta_fields=["scene_stride"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
@@ -66,6 +67,18 @@ class GraphBatch:
     n_edges: jax.Array
     scene_adj: jax.Array | None = None
     scene_stride: int = 0
+    # ELL (padded neighbour-list) view of the same edges, the TPU-idiomatic
+    # sparse layout: ell_src int32 [V, max_deg] source of in-edge j of node v
+    # (0 for padding), ell_mask bool [V, max_deg]. Regularizes gathers and
+    # removes scatters entirely; built by build_graph_batch.
+    ell_src: jax.Array | None = None
+    ell_mask: jax.Array | None = None
+
+    @property
+    def max_degree(self) -> int:
+        if self.ell_src is None:
+            raise ValueError("graph has no ELL layout")
+        return self.ell_src.shape[1]
 
     @property
     def max_nodes(self) -> int:
@@ -80,6 +93,10 @@ class GraphBatch:
         if not self.scene_stride:
             raise ValueError("graph has no block-diagonal layout")
         return self.max_nodes // self.scene_stride
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def fully_connected_edges(num_robots: int, self_loops: bool = False) -> np.ndarray:
@@ -180,6 +197,19 @@ def build_graph_batch(
         [np.concatenate(scenes) if scenes else np.zeros(0, np.int32),
          np.zeros(max_nodes - n_nodes, np.int32)]
     )
+    # ELL view: per-destination padded neighbour lists (edges are dst-sorted,
+    # so this is a cheap segment split). Width rounded up to a multiple of 8
+    # for VPU-friendly tiling, minimum 8.
+    deg = np.bincount(dst, minlength=max_nodes) if n_edges else np.zeros(max_nodes, np.int64)
+    max_deg = max(_round_up_int(int(deg.max()) if deg.size else 1, 8), 8)
+    ell_src = np.zeros((max_nodes, max_deg), np.int32)
+    ell_mask = np.zeros((max_nodes, max_deg), bool)
+    slot = np.zeros(max_nodes, np.int64)
+    for s, d in zip(src, dst):
+        ell_src[d, slot[d]] = s
+        ell_mask[d, slot[d]] = True
+        slot[d] += 1
+
     return GraphBatch(
         edge_src=jnp.asarray(edge_src),
         edge_dst=jnp.asarray(edge_dst),
@@ -188,6 +218,8 @@ def build_graph_batch(
         node_scene=jnp.asarray(node_scene),
         n_nodes=jnp.asarray(n_nodes, jnp.int32),
         n_edges=jnp.asarray(n_edges, jnp.int32),
+        ell_src=jnp.asarray(ell_src),
+        ell_mask=jnp.asarray(ell_mask),
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,9 +36,14 @@ def default_edge_fusion(ops, aggregation: str, q, k, flat_values,
     """
     V = flat_values.shape[0]
     block = graph.scene_stride > 0
+    ell = graph.ell_src is not None
     if aggregation == "attention":
+        # Fastest applicable path: dense block-diagonal (MXU) > ELL gather
+        # (regular, scatter-free) > edge-list (general fallback).
         if block and ops.block_fused_attention is not None:
             return ops.block_fused_attention(q, k, flat_values, graph)
+        if ell and ops.ell_attention is not None:
+            return ops.ell_attention(q, k, flat_values, graph)
         logits = ops.sddmm(q, k, graph.edge_src, graph.edge_dst, graph.edge_mask)
         logits = logits / np.sqrt(q.shape[-1])
         alpha = ops.segment_softmax(logits, graph.edge_dst, V, graph.edge_mask)
@@ -46,6 +52,8 @@ def default_edge_fusion(ops, aggregation: str, q, k, flat_values,
     if aggregation == "mean":
         if block and ops.block_mean_agg is not None:
             return ops.block_mean_agg(flat_values, graph)
+        if ell and ops.ell_mean is not None:
+            return ops.ell_mean(flat_values, graph)
         return ops.segment_mean_agg(flat_values, graph.edge_src, graph.edge_dst,
                                     V, graph.edge_mask)
     raise ValueError(f"unknown aggregation {aggregation!r}")
@@ -88,7 +96,8 @@ class GraphFusionLayer(nn.Module):
             k = nn.Dense(self.attention_dim, dtype=self.dtype, name="key")(pooled)
         else:
             q = k = None
-        msg = edge_fn(ops, self.aggregation, q, k, flat_values, graph)
+        with jax.named_scope(f"graph_fusion_{self.aggregation}"):
+            msg = edge_fn(ops, self.aggregation, q, k, flat_values, graph)
 
         msg = msg.reshape(V, h, w, C)
         # Fuse ego features with the aggregated neighbourhood message.

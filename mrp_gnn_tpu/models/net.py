@@ -8,6 +8,7 @@ dense predictions, V = padded robot-view nodes of the whole scene batch.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mrp_gnn_tpu.config import ModelConfig
@@ -28,8 +29,9 @@ class MultiRobotPerceptionNet(nn.Module):
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
 
-        skips, bottleneck = Encoder(cfg.encoder_channels, cfg.norm_groups,
-                                    dtype, name="encoder")(x)
+        with jax.named_scope("encoder"):
+            skips, bottleneck = Encoder(cfg.encoder_channels, cfg.norm_groups,
+                                        dtype, name="encoder")(x)
         out = {"bottleneck": bottleneck}
 
         fused = bottleneck
@@ -46,8 +48,9 @@ class MultiRobotPerceptionNet(nn.Module):
                 )(fused, graph)
         out["fused"] = fused
 
-        dec = Decoder(cfg.encoder_channels, cfg.norm_groups, dtype,
-                      name="decoder")(skips, fused)
+        with jax.named_scope("decoder"):
+            dec = Decoder(cfg.encoder_channels, cfg.norm_groups, dtype,
+                          name="decoder")(skips, fused)
         out["decoder"] = dec
 
         if cfg.predict_depth:

@@ -20,22 +20,65 @@ class EdgeOps:
     spmm: Callable
     segment_mean_agg: Callable
     # Dense fast path for block-diagonal scene batches (None = unsupported;
-    # callers fall back to the edge-list ops above).
+    # callers fall back to the ELL / edge-list ops).
     block_fused_attention: Callable | None = None
     block_mean_agg: Callable | None = None
+    # ELL sparse path for irregular graphs with a padded neighbour-list view:
+    # (q, k, values, graph) -> msg and (values, graph) -> msg.
+    ell_attention: Callable | None = None
+    ell_mean: Callable | None = None
+
+
+def _compose_ell_attention(sddmm_fn, softmax_fn, spmm_fn):
+    import numpy as np
+
+    def ell_attention(q, k, values, graph):
+        logits = sddmm_fn(q, k, graph.ell_src, graph.ell_mask)
+        logits = logits / np.sqrt(q.shape[-1])
+        alpha = softmax_fn(logits, graph.ell_mask)
+        return spmm_fn(alpha, values, graph.ell_src, graph.ell_mask)
+
+    return ell_attention
 
 
 def _xla_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import reference as R
+
+    def ell_mean(values, graph):
+        ones = graph.ell_mask.astype(values.dtype)
+        return R.ell_aggregate(ones, values, graph.ell_src, graph.ell_mask,
+                               "mean")
+
     return EdgeOps(R.sddmm, R.segment_softmax, R.spmm, R.segment_mean_agg,
-                   R.block_fused_attention, R.block_mean_agg)
+                   R.block_fused_attention, R.block_mean_agg,
+                   _compose_ell_attention(R.ell_sddmm, R.ell_softmax,
+                                          lambda a, v, s, m:
+                                          R.ell_aggregate(a, v, s, m, "sum")),
+                   ell_mean)
 
 
 def _pallas_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import reference as R
     from mrp_gnn_tpu.ops import pallas_edge as P
+    from mrp_gnn_tpu.ops import pallas_ell as PE
+
+    def ell_mean(values, graph):
+        ones = graph.ell_mask.astype(values.dtype)
+        deg = jnp_maximum_deg(graph)
+        return PE.ell_spmm(ones / deg, values, graph.ell_src, graph.ell_mask)
+
+    def jnp_maximum_deg(graph):
+        import jax.numpy as jnp
+        deg = graph.ell_mask.sum(axis=1, keepdims=True)
+        return jnp.maximum(deg, 1.0)
+
+    # R.ell_softmax keeps the softmax differentiable; the Pallas kernels
+    # carry the gather traffic (sddmm/spmm), which is where the bytes are.
     return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
-                   P.block_fused_attention, R.block_mean_agg)
+                   P.block_fused_attention, R.block_mean_agg,
+                   _compose_ell_attention(PE.ell_sddmm, R.ell_softmax,
+                                          PE.ell_spmm),
+                   ell_mean)
 
 
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}

@@ -139,3 +139,50 @@ def segment_mean_agg(values: jax.Array, edge_src: jax.Array, edge_dst: jax.Array
     summed = spmm(jnp.ones_like(w), values, edge_src, edge_dst, num_nodes, edge_mask)
     deg = jax.ops.segment_sum(w, edge_dst, num_segments=num_nodes)
     return summed / jnp.maximum(deg, 1.0)[:, None]
+
+
+# --- ELL (padded neighbour-list) ops ----------------------------------------
+# The TPU-idiomatic sparse layout (GraphBatch.ell_src/ell_mask): every
+# destination's in-edges sit in a fixed-width row, so the segment softmax is
+# a masked row softmax and aggregation is a regular gather + weighted sum —
+# no scatter. These are the XLA oracles for the Pallas ELL kernels.
+
+
+def ell_sddmm(q: jax.Array, k: jax.Array, ell_src: jax.Array,
+              ell_mask: jax.Array) -> jax.Array:
+    """logits[v, j] = <q[v], k[ell_src[v, j]]>; masked slots -> 0."""
+    gathered = k[ell_src]                      # [V, max_deg, dk]
+    logits = jnp.einsum("vd,vjd->vj", q, gathered)
+    return jnp.where(ell_mask, logits, 0.0)
+
+
+def ell_softmax(logits: jax.Array, ell_mask: jax.Array) -> jax.Array:
+    """Masked softmax along the neighbour axis; all-masked rows -> zeros."""
+    x = jnp.where(ell_mask, logits, _NEG)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - jax.lax.stop_gradient(jnp.maximum(m, _NEG / 2)))
+    e = jnp.where(ell_mask, e, 0.0)
+    denom = e.sum(-1, keepdims=True)
+    return jnp.where(denom > 0, e / jnp.maximum(denom, 1e-30), 0.0)
+
+
+def ell_aggregate(weights: jax.Array, values: jax.Array, ell_src: jax.Array,
+                  ell_mask: jax.Array, mode: str = "sum") -> jax.Array:
+    """out[v] = reduce_j weights[v, j] * values[ell_src[v, j]].
+
+    mode: "sum" (weighted, e.g. attention), "mean", or "max" (weights
+    ignored for max). The segment-aggregation op of the contract
+    (BASELINE.json:5) in ELL form.
+    """
+    gathered = values[ell_src]                 # [V, max_deg, D]
+    maskf = ell_mask.astype(values.dtype)[..., None]
+    if mode == "sum":
+        return jnp.einsum("vj,vjd->vd", weights * ell_mask, gathered)
+    if mode == "mean":
+        deg = jnp.maximum(maskf.sum(1), 1.0)
+        return (gathered * maskf).sum(1) / deg
+    if mode == "max":
+        neg = jnp.full_like(gathered, _NEG)
+        mx = jnp.where(maskf > 0, gathered, neg).max(1)
+        return jnp.where(maskf.sum(1) > 0, mx, 0.0)
+    raise ValueError(f"unknown mode {mode!r}")

@@ -72,7 +72,7 @@ def test_graphbatch_is_pytree():
     import jax
     gb = batch_fully_connected(1, 3)
     leaves = jax.tree_util.tree_leaves(gb)
-    assert len(leaves) == 8  # 7 graph arrays + scene_adj
+    assert len(leaves) == 10  # 7 graph arrays + scene_adj + ell_src/mask
     gb2 = jax.tree_util.tree_map(lambda x: x, gb)
     assert isinstance(gb2, GraphBatch)
 
