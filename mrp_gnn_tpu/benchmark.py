@@ -76,19 +76,25 @@ def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
     out = []
     graphs = {"scatter": gb_scatter, "ell": gb_ell, "block": gb_block}
     for path in paths:
+        name = path
+        bf16 = path.endswith("_bf16")
+        if bf16:
+            path = path[: -len("_bf16")]
         impl, kind = path.split("_", 1)
         gb = graphs[kind]
         ops = dispatch.get_ops(impl)
+        vv = v.astype(jnp.bfloat16) if bf16 else v
 
         def body(v, ops=ops, gb=gb):
             o = default_edge_fusion(ops, "attention", q, k, v, gb)
-            return o * 0.5 + v * 0.5
+            return (o * 0.5 + v * 0.5).astype(v.dtype)
 
         try:
-            sec = time_chained(body, v, inner)
+            sec = time_chained(body, vv, inner)
         except Exception as e:
-            _log(f"{path}: failed ({type(e).__name__}: {e})")
+            _log(f"{name}: failed ({type(e).__name__}: {e})")
             continue
+        path = name
         rec = {"bench": "fusion", "path": path, "nodes": nodes, "edges": E,
                "feature_dim": feature_dim, "sec_per_call": sec,
                "edges_per_s": E / sec, "backend": jax.default_backend()}

@@ -65,6 +65,9 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 500
     checkpoint_dir: str = ""
+    # TensorBoard scalar summaries via clu.metric_writers ("" = disabled);
+    # the JSONL log_fn stream is always available regardless.
+    tensorboard_dir: str = ""
     seed: int = 0
 
 

@@ -24,9 +24,16 @@ from mrp_gnn_tpu.models import MultiRobotPerceptionNet
 from mrp_gnn_tpu.train import TrainState, create_train_state
 
 
-def evaluate(cfg: ExperimentConfig, params: Any) -> dict:
-    """Run the eval split; returns a flat dict of float metrics."""
-    model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl)
+def evaluate(cfg: ExperimentConfig, params: Any, pctx=None) -> dict:
+    """Run the eval split; returns a flat dict of float metrics.
+
+    pctx: optional ParallelContext — evaluates with the partitioned fusion
+    path and mesh-sharded batches (config 5). Metric sums are global (the
+    jitted program reduces over the whole sharded batch).
+    """
+    edge_fn = pctx.edge_fusion_fn if pctx is not None else None
+    model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl,
+                                    edge_fusion_fn=edge_fn)
     num_classes = cfg.model.num_seg_classes
 
     @jax.jit
@@ -44,6 +51,8 @@ def evaluate(cfg: ExperimentConfig, params: Any) -> dict:
     acc = None
     n_batches = 0
     for batch in make_dataset(cfg.data, "eval", shuffle=False):
+        if pctx is not None:
+            batch = pctx.shard_batch(batch)
         res = eval_step(params, jnp.asarray(batch["images"]),
                         jnp.asarray(batch["depth"]),
                         jnp.asarray(batch["seg"]), batch["graph"])
@@ -71,7 +80,11 @@ def main(argv=None):
 
     cfg = get_config(args.config)
     sample = next(iter(make_dataset(cfg.data, "eval", shuffle=False)))
-    state, _ = create_train_state(cfg, jax.random.PRNGKey(0), sample)
+    from mrp_gnn_tpu.train import make_parallel
+    pctx = make_parallel(cfg)
+    state, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample,
+        edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
     if args.checkpoint_dir:
         from mrp_gnn_tpu.checkpoint import CheckpointManager
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -80,7 +93,7 @@ def main(argv=None):
             raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
         state = restored
         print(f"[eval] restored step {mgr.latest_step}")
-    results = evaluate(cfg, state.params)
+    results = evaluate(cfg, state.params, pctx=pctx)
     print(json.dumps(results))
 
 

@@ -147,6 +147,12 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         if restored is not None:
             state = restored
 
+    tb_writer = None
+    if cfg.train.tensorboard_dir:
+        from clu import metric_writers
+        tb_writer = metric_writers.create_default_writer(
+            cfg.train.tensorboard_dir, just_logging=jax.process_index() > 0)
+
     records = []
     batch = first
     t0 = time.perf_counter()
@@ -165,12 +171,18 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             records.append(rec)
             if log_fn:
                 log_fn(rec)
+            if tb_writer is not None:
+                tb_writer.write_scalars(
+                    i + 1, {k: v for k, v in rec.items()
+                            if k not in ("step",) and isinstance(v, float)})
         if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
                          or i == steps - 1):
             ckpt_mgr.save(i + 1, state)
         batch = next(it)
     if ckpt_mgr:
         ckpt_mgr.close()
+    if tb_writer is not None:
+        tb_writer.flush()
     return state, records
 
 
@@ -183,6 +195,7 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--log_every", type=int, default=None)
+    p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--train_scenes", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -194,6 +207,8 @@ def main(argv=None):
         tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
     if args.log_every is not None:
         tr = dataclasses.replace(tr, log_every=args.log_every)
+    if args.tensorboard_dir is not None:
+        tr = dataclasses.replace(tr, tensorboard_dir=args.tensorboard_dir)
     if args.steps is not None:
         tr = dataclasses.replace(tr, steps=args.steps)
     cfg = cfg.replace(train=tr)
