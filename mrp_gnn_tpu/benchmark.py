@@ -86,8 +86,10 @@ def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
         vv = v.astype(jnp.bfloat16) if bf16 else v
 
         def body(v, ops=ops, gb=gb):
-            o = default_edge_fusion(ops, "attention", q, k, v, gb)
-            return (o * 0.5 + v * 0.5).astype(v.dtype)
+            # attention output is a convex combination of values -> bounded;
+            # feeding it straight back keeps the chain data-dependent without
+            # adding extra memory traffic to the measurement.
+            return default_edge_fusion(ops, "attention", q, k, v, gb).astype(v.dtype)
 
         try:
             sec = time_chained(body, vv, inner)

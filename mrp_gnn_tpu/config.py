@@ -48,6 +48,12 @@ class DataConfig:
     # robot-index distance; robots sit along the camera baseline).
     connectivity: str = "full"
     comm_radius: int = 0
+    # Scene renderer backend: "auto" (native C++ if buildable, else numpy),
+    # "native", or "numpy". Identical world geometry either way; sensor-noise
+    # RNG differs per backend.
+    renderer: str = "auto"
+    # Background prefetch depth for the batch pipeline (0 = synchronous).
+    prefetch: int = 2
     # Static padded capacities; None => exact fit for homogeneous teams.
     max_nodes: int | None = None
     max_edges: int | None = None

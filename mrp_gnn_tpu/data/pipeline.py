@@ -38,10 +38,23 @@ class SceneDataset:
             max_baseline=0.25 * max(cfg.num_robots - 1, 1),
         )
 
+        self._use_native = False
+        if cfg.renderer in ("auto", "native"):
+            from mrp_gnn_tpu.data import native
+            self._use_native = native.is_available()
+            if cfg.renderer == "native" and not self._use_native:
+                raise RuntimeError("native renderer requested but the shared "
+                                   "library could not be built/loaded")
+
     def __len__(self) -> int:
         return self.num_scenes
 
     def __getitem__(self, idx: int) -> dict:
+        if self._use_native:
+            from mrp_gnn_tpu.data import native
+            out = native.render_scene_native(self.spec, self._seed, idx)
+            if out is not None:
+                return out
         return generate_scene(self.spec, self._seed, idx)
 
 
@@ -101,6 +114,45 @@ class BatchIterator:
             yield from self
 
 
+class PrefetchIterator:
+    """Overlaps host batch assembly with device compute.
+
+    A daemon thread fills a bounded queue ``depth`` batches ahead; the
+    training loop pops ready batches instead of rendering synchronously
+    (the torch DataLoader-worker role of the reference — SURVEY.md 3.1 —
+    without a fork per worker). Wraps the repeat() stream.
+    """
+
+    def __init__(self, batch_iter: "BatchIterator", depth: int = 2):
+        import queue
+        import threading
+        self._it = batch_iter
+        self.graph = batch_iter.graph
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        for batch in self._it.repeat():
+            if self._stop.is_set():
+                return
+            self._q.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._q.get_nowait()  # unblock the producer if it is waiting
+        except Exception:
+            pass
+
+
 def make_dataset(cfg: DataConfig, split: str = "train",
                  shuffle: bool | None = None) -> BatchIterator:
     ds = SceneDataset(cfg, split)
@@ -110,3 +162,11 @@ def make_dataset(cfg: DataConfig, split: str = "train",
         shuffle=(split == "train") if shuffle is None else shuffle,
         seed=cfg.seed,
     )
+
+
+def make_train_iterator(cfg: DataConfig):
+    """Endless training stream; prefetched when cfg.prefetch > 0."""
+    it = make_dataset(cfg, "train")
+    if cfg.prefetch > 0:
+        return PrefetchIterator(it, cfg.prefetch)
+    return iter(it.repeat())

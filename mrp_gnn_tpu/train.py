@@ -124,8 +124,11 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
           data_iter: Iterator[dict] | None = None) -> tuple:
     """Run training; returns (final TrainState, list of logged records)."""
     steps = num_steps if num_steps is not None else cfg.train.steps
-    it = data_iter if data_iter is not None else iter(
-        make_dataset(cfg.data, "train").repeat())
+    if data_iter is not None:
+        it = data_iter
+    else:
+        from mrp_gnn_tpu.data.pipeline import make_train_iterator
+        it = make_train_iterator(cfg.data)
     first = next(it)
 
     pctx = make_parallel(cfg)
