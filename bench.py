@@ -26,7 +26,7 @@ def log(*a):
 
 
 def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
-                     force_sparse: bool = False) -> float:
+                     force_sparse: bool = False, bf16: bool = False) -> float:
     """Returns steady-state edges/s for one fused edge block."""
     import dataclasses
     import jax
@@ -43,31 +43,34 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
     ops = dispatch.get_ops(ops_impl)
 
     rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
     q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)).astype(dtype)
 
     # Chain `iters` applications inside ONE jitted scan (output feeds the
-    # next call's values) so per-dispatch overhead — substantial on the
-    # tunneled axon platform — amortizes away and we time the op itself.
+    # next call's values — attention output is a convex combination of the
+    # values, so the chain stays bounded) so per-dispatch overhead —
+    # substantial on the tunneled axon platform — amortizes away and we time
+    # the op itself.
     def chained(q, k, v):
         def body(v, _):
             out = default_edge_fusion(ops, "attention", q, k, v, gb)
-            # keep magnitudes bounded across the chain
-            return out * 0.5 + v * 0.5, ()
+            return out.astype(v.dtype), ()
         v, _ = jax.lax.scan(body, v, None, length=iters)
         return v
 
     fn = jax.jit(chained)
     jax.block_until_ready(fn(q, k, v))  # compile + warm
-    reps = max(warmup // 2, 2)
-    t0 = time.perf_counter()
+    reps = max(warmup // 2, 3)
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(q, k, v)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
     edges = int(np.asarray(gb.n_edges))
-    return edges * iters / dt
+    return edges * iters / best
 
 
 def main():
@@ -86,12 +89,13 @@ def main():
     E = V * 7  # 8-robot fully-connected scenes: 56 edges per 8 nodes
 
     results = {}
-    variants = [("xla_sparse", "xla", True), ("xla_block", "xla", False),
-                ("pallas_block", "pallas", False)]
-    for name, impl, force_sparse in variants:
+    variants = [("xla_sparse", "xla", True, False),
+                ("xla_block_bf16", "xla", False, True),
+                ("pallas_block_bf16", "pallas", False, True)]
+    for name, impl, force_sparse, bf16 in variants:
         try:
             eps = bench_edge_block(impl, V, E, D, dk, args.iters, args.warmup,
-                                   force_sparse=force_sparse)
+                                   force_sparse=force_sparse, bf16=bf16)
             results[name] = eps
             log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
         except Exception as e:

@@ -66,6 +66,7 @@ class TrainConfig:
     warmup_steps: int = 100
     weight_decay: float = 1e-4
     grad_clip_norm: float = 1.0
+    depth_loss: str = "l1"  # "l1" | "berhu" | "silog"
     depth_loss_weight: float = 1.0
     seg_loss_weight: float = 1.0
     log_every: int = 50

@@ -90,6 +90,19 @@ class BatchIterator:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        self._skip_batches = 0
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return len(self.ds) // self.bs
+
+    def fast_forward(self, n_batches: int) -> None:
+        """Position the stream as if ``n_batches`` were already consumed —
+        used on checkpoint resume so the data order continues where the run
+        left off (shuffle order is a pure function of (seed, epoch))."""
+        bpe = max(self.batches_per_epoch, 1)
+        self._epoch = n_batches // bpe
+        self._skip_batches = n_batches % bpe
 
     def __iter__(self):
         order = np.arange(len(self.ds))
@@ -97,7 +110,8 @@ class BatchIterator:
             rng = np.random.default_rng([self.seed, self._epoch])
             rng.shuffle(order)
         self._epoch += 1
-        for start in range(0, len(order) - self.bs + 1, self.bs):
+        skip, self._skip_batches = self._skip_batches, 0
+        for start in range(skip * self.bs, len(order) - self.bs + 1, self.bs):
             scenes = [self.ds[int(i)] for i in order[start:start + self.bs]]
             images = np.concatenate([s["images"] for s in scenes])
             depth = np.concatenate([s["depth"] for s in scenes])
@@ -164,9 +178,15 @@ def make_dataset(cfg: DataConfig, split: str = "train",
     )
 
 
-def make_train_iterator(cfg: DataConfig):
-    """Endless training stream; prefetched when cfg.prefetch > 0."""
+def make_train_iterator(cfg: DataConfig, start_batch: int = 0):
+    """Endless training stream; prefetched when cfg.prefetch > 0.
+
+    start_batch: resume position in batches (usually the restored step
+    count), so data order continues deterministically across restarts.
+    """
     it = make_dataset(cfg, "train")
+    if start_batch:
+        it.fast_forward(start_batch)
     if cfg.prefetch > 0:
         return PrefetchIterator(it, cfg.prefetch)
     return iter(it.repeat())

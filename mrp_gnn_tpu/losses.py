@@ -31,6 +31,24 @@ def masked_depth_silog(pred: jnp.ndarray, target: jnp.ndarray,
     return (d ** 2).sum() / n - lam * (d.sum() / n) ** 2
 
 
+def masked_depth_berhu(pred: jnp.ndarray, target: jnp.ndarray,
+                       node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-Huber (berHu) loss: L1 near zero, quadratic in the tail, with
+    the switch point c = 0.2 * max residual per batch (Laina et al.)."""
+    valid = (target > 0) & node_mask[:, None, None]
+    d = jnp.abs(pred - target) * valid
+    c = jnp.maximum(0.2 * jnp.max(d), 1e-6)
+    loss = jnp.where(d <= c, d, (d ** 2 + c ** 2) / (2 * c))
+    return (loss * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
+DEPTH_LOSSES = {
+    "l1": masked_depth_l1,
+    "berhu": masked_depth_berhu,
+    "silog": masked_depth_silog,
+}
+
+
 def masked_seg_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                   node_mask: jnp.ndarray) -> jnp.ndarray:
     """Mean cross-entropy over valid pixels. logits: [V, H, W, K]; labels int [V, H, W]."""
@@ -41,14 +59,16 @@ def masked_seg_ce(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def total_loss(outputs: dict, batch: dict, node_mask: jnp.ndarray,
-               depth_weight: float = 1.0, seg_weight: float = 1.0) -> tuple:
+               depth_weight: float = 1.0, seg_weight: float = 1.0,
+               depth_loss: str = "l1") -> tuple:
     """Weighted multi-task loss; returns (loss, per-term dict)."""
     terms = {}
     loss = 0.0
     if "depth" in outputs:
-        terms["depth_l1"] = masked_depth_l1(outputs["depth"], batch["depth"],
-                                            node_mask)
-        loss = loss + depth_weight * terms["depth_l1"]
+        fn = DEPTH_LOSSES[depth_loss]
+        terms[f"depth_{depth_loss}"] = fn(outputs["depth"], batch["depth"],
+                                          node_mask)
+        loss = loss + depth_weight * terms[f"depth_{depth_loss}"]
     if "seg_logits" in outputs:
         terms["seg_ce"] = masked_seg_ce(outputs["seg_logits"], batch["seg"],
                                         node_mask)

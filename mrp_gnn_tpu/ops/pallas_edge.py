@@ -48,14 +48,15 @@ def _pick_tiles(V: int, D: int, n: int, interpret: bool):
             node_tile = V  # CPU interpret mode: no alignment constraints
         else:
             return None
-    if D % 512 == 0:
-        feat_tile = 512
-    elif D % 128 == 0:
-        feat_tile = min(D, 512)
-    elif interpret:
+    feat_tile = None
+    for t in (1024, 512, 256, 128):
+        if D % t == 0:
+            feat_tile = t
+            break
+    if feat_tile is None:
+        if not interpret:
+            return None
         feat_tile = D
-    else:
-        return None
     return node_tile, feat_tile
 
 
@@ -80,10 +81,12 @@ def _attn_kernel(bias_ref, q_ref, k_ref, valid_ref, v_ref, out_ref, alpha_ref):
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - jnp.maximum(m, _NEG / 2))
         denom = jnp.sum(e, axis=-1, keepdims=True)
-        alpha_ref[:] = jnp.where(denom > 1e-20,
-                                 e / jnp.maximum(denom, 1e-30), 0.0)
+        alpha = jnp.where(denom > 1e-20, e / jnp.maximum(denom, 1e-30), 0.0)
+        # alpha is cached in the VALUES dtype: for bf16 values the aggregate
+        # matmul then runs bf16 x bf16 on the MXU with f32 accumulation.
+        alpha_ref[:] = alpha.astype(alpha_ref.dtype)
 
-    out_ref[:] = jnp.dot(alpha_ref[:].astype(v_ref.dtype), v_ref[:],
+    out_ref[:] = jnp.dot(alpha_ref[:], v_ref[:],
                          preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
 
@@ -122,7 +125,7 @@ def _forward(q, k, values, valid, bias, node_tile, feat_tile, interpret):
         out_specs=pl.BlockSpec((node_tile, feat_tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V, D), values.dtype),
-        scratch_shapes=[pltpu.VMEM((node_tile, node_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((node_tile, node_tile), values.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * V * node_tile * (dk + D),
             bytes_accessed=(V * D * values.dtype.itemsize * 2

@@ -75,7 +75,8 @@ def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
             out = model.apply(params, images, graph)
             loss, terms = total_loss(out, batch, graph.node_mask,
                                      cfg.train.depth_loss_weight,
-                                     cfg.train.seg_loss_weight)
+                                     cfg.train.seg_loss_weight,
+                                     depth_loss=cfg.train.depth_loss)
             return loss, terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -149,6 +150,12 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
             state = restored
+            if data_iter is None and int(state.step) > 0:
+                # continue the data stream where the checkpoint left off
+                from mrp_gnn_tpu.data.pipeline import make_train_iterator
+                it = make_train_iterator(cfg.data, start_batch=int(state.step))
+                batch0 = next(it)
+                first = pctx.shard_batch(batch0) if pctx else batch0
 
     tb_writer = None
     if cfg.train.tensorboard_dir:
@@ -199,6 +206,7 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--log_every", type=int, default=None)
     p.add_argument("--tensorboard_dir", default=None)
+    p.add_argument("--depth_loss", default=None, choices=["l1", "berhu", "silog"])
     p.add_argument("--train_scenes", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -212,6 +220,8 @@ def main(argv=None):
         tr = dataclasses.replace(tr, log_every=args.log_every)
     if args.tensorboard_dir is not None:
         tr = dataclasses.replace(tr, tensorboard_dir=args.tensorboard_dir)
+    if args.depth_loss is not None:
+        tr = dataclasses.replace(tr, depth_loss=args.depth_loss)
     if args.steps is not None:
         tr = dataclasses.replace(tr, steps=args.steps)
     cfg = cfg.replace(train=tr)

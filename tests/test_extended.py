@@ -93,3 +93,26 @@ def test_tensorboard_writer(tmp_path):
     for root, _, fs in os.walk(tmp_path / "tb"):
         files += fs
     assert any("tfevents" in f for f in files), files
+
+
+def test_depth_loss_variants_train():
+    for loss in ("berhu", "silog"):
+        cfg = _tiny("single_robot_depth", steps=10)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, depth_loss=loss))
+        _, records = train(cfg)
+        key = f"depth_{loss}"
+        assert key in records[0], records[0]
+        assert np.isfinite([r["total"] for r in records]).all()
+
+
+def test_iterator_fast_forward_matches_continuous():
+    from mrp_gnn_tpu.config import DataConfig
+    from mrp_gnn_tpu.data.pipeline import make_dataset, make_train_iterator
+    cfg = dataclasses.replace(
+        DataConfig(num_robots=2, scenes_per_batch=2, image_size=(16, 16),
+                   num_train_scenes=6, prefetch=0))
+    it = make_train_iterator(cfg)
+    stream = [next(it)["depth"].sum() for _ in range(7)]
+    it2 = make_train_iterator(cfg, start_batch=4)
+    resumed = [next(it2)["depth"].sum() for _ in range(3)]
+    np.testing.assert_allclose(resumed, stream[4:7])
