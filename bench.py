@@ -73,6 +73,34 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
     return edges * iters / best
 
 
+def measure_stream_bw(V: int, D: int, iters: int) -> float:
+    """Empirical HBM stream bandwidth (bytes/s) via a chained row-permute.
+
+    A data-dependent gather chain cannot be fused away, so per-iter time is
+    a true read+write of the [V, D] bf16 buffer. Single-dispatch timing is
+    unreliable over the axon tunnel (results appear cached); the chain
+    matches the methodology of the edge-block measurement, so the roofline
+    fraction is apples-to-apples.
+    """
+    import jax
+    import jax.numpy as jnp
+    v = jnp.ones((V, D), jnp.bfloat16)
+    perm = jnp.asarray(np.random.default_rng(0).permutation(V))
+
+    def chained(v):
+        return jax.lax.scan(lambda c, _: (c[perm], ()), v, None,
+                            length=iters)[0]
+
+    fn = jax.jit(chained)
+    jax.block_until_ready(fn(v))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(v))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * V * D * 2 * iters / best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=50)
@@ -101,14 +129,16 @@ def main():
         except Exception as e:
             log(f"{name}: unavailable ({type(e).__name__}: {e})")
 
-    # Rooflines at v5e HBM ~ 819 GB/s: the gather formulation reads E*D*4
-    # bytes of source values; the block-dense formulation reads each value
-    # row once (V*D*4 read + V*D*4 write) -- its edge rate is E/V times the
-    # row rate.
-    hbm = 819e9
-    sol_gather = hbm / (D * 4)
-    sol_block = hbm / (2 * V * D * 4 / E)
-    log(f"roofline gather: {sol_gather:,.0f} edges/s; "
+    # Roofline from MEASURED stream bandwidth (the axon-tunneled chip
+    # delivers far below the v5e spec sheet's 819 GB/s — see
+    # scripts/hw_probe2.py): the gather formulation reads E*D bf16 bytes of
+    # source values; the block-dense formulation reads each value row once
+    # (V*D read + V*D write) -- its edge rate is E/V times the row rate.
+    hbm = measure_stream_bw(V, D, args.iters)
+    log(f"measured stream bandwidth: {hbm/1e9:,.1f} GB/s")
+    sol_gather = hbm / (D * 2)
+    sol_block = hbm / (2 * V * D * 2 / E)
+    log(f"bf16 roofline gather: {sol_gather:,.0f} edges/s; "
         f"block-dense: {sol_block:,.0f} edges/s")
 
     best_impl = max(results, key=results.get)

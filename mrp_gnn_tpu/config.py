@@ -80,9 +80,11 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ParallelConfig:
-    # Mesh axes: data (scene-graph batch shards) x graph (edge partitions).
+    # Mesh axes: data (scene-graph batch shards) x graph (edge partitions)
+    # x model (tensor-parallel channel shards; parallel/tp.py).
     data_axis_size: int = 1
     graph_axis_size: int = 1
+    model_axis_size: int = 1
     # Backend for the fusion ops: "xla" | "pallas".
     ops_impl: str = "xla"
     # Overlap boundary feature exchange with local aggregation (config 5).

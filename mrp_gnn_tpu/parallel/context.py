@@ -25,10 +25,16 @@ from mrp_gnn_tpu.parallel.partition import EdgePartitionPlan, partition_graph
 @dataclasses.dataclass(frozen=True)
 class ParallelContext:
     mesh: Mesh
-    plan: EdgePartitionPlan
-    edge_fusion_fn: Callable
+    plan: Optional[EdgePartitionPlan]
+    edge_fusion_fn: Optional[Callable]
     node_sharding: NamedSharding      # [V, ...] arrays
     replicated: NamedSharding
+
+    def shard_state(self, state):
+        """Place a TrainState: params/moments TP-sharded over "model"
+        (replicated when the axis is trivial), scalars replicated."""
+        from mrp_gnn_tpu.parallel.tp import state_shardings
+        return jax.device_put(state, state_shardings(state, self.mesh))
 
     def shard_batch(self, batch: dict) -> dict:
         """Place a host batch onto the mesh with node-axis sharding."""
@@ -44,18 +50,24 @@ class ParallelContext:
 
 
 def make_parallel_context(cfg: ExperimentConfig,
-                          replica_graph: GraphBatch) -> Optional[ParallelContext]:
+                          replica_graph: Optional[GraphBatch]
+                          ) -> Optional[ParallelContext]:
     """Build mesh/plan/edge_fn for cfg; None when the mesh is trivial.
 
     ``replica_graph`` is the per-data-replica GraphBatch (topology is
     identical across data shards; node slots are replica-local).
     """
     pc = cfg.parallel
-    if pc.data_axis_size * pc.graph_axis_size <= 1:
+    model_ax = getattr(pc, "model_axis_size", 1)
+    if pc.data_axis_size * pc.graph_axis_size * model_ax <= 1:
         return None
-    mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size)
-    plan = partition_graph(replica_graph, pc.graph_axis_size)
-    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size, model_ax)
+    if pc.graph_axis_size > 1:
+        plan = partition_graph(replica_graph, pc.graph_axis_size)
+        edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    else:
+        # DP/TP-only mesh: the single-device edge block is correct per shard.
+        plan, edge_fn = None, None
     return ParallelContext(
         mesh=mesh,
         plan=plan,

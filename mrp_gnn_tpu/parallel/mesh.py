@@ -9,6 +9,8 @@ Axes:
   data  — scene-graph batch shards (classic DP; XLA all-reduces grads).
   graph — edge partitions of the robot graph within one batch shard
           (boundary features move over ICI; see parallel/partition.py).
+  model — tensor-parallel shards of conv/dense output channels
+          (GSPMD-propagated; see parallel/tp.py).
 """
 
 from __future__ import annotations
@@ -21,13 +23,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data_axis_size: int = 1, graph_axis_size: int = 1,
+              model_axis_size: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())
-    need = data_axis_size * graph_axis_size
+    need = data_axis_size * graph_axis_size * model_axis_size
     if need > len(devs):
         raise ValueError(f"mesh needs {need} devices, have {len(devs)}")
-    arr = np.array(devs[:need]).reshape(data_axis_size, graph_axis_size)
-    return Mesh(arr, ("data", "graph"))
+    arr = np.array(devs[:need]).reshape(data_axis_size, graph_axis_size,
+                                        model_axis_size)
+    return Mesh(arr, ("data", "graph", "model"))
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:

@@ -115,8 +115,13 @@ def replica_graph_for(cfg: ExperimentConfig) -> GraphBatch:
 def make_parallel(cfg: ExperimentConfig):
     """ParallelContext for cfg, or None for a trivial 1x1 mesh."""
     from mrp_gnn_tpu.parallel.context import make_parallel_context
-    if cfg.parallel.data_axis_size * cfg.parallel.graph_axis_size <= 1:
+    pc = cfg.parallel
+    if pc.data_axis_size * pc.graph_axis_size * pc.model_axis_size <= 1:
         return None
+    if pc.graph_axis_size <= 1:
+        # DP/TP-only: no edge partition plan needed; replica graph = batch
+        # graph, and divisibility is enforced by the sharding itself.
+        return make_parallel_context(cfg, None)
     return make_parallel_context(cfg, replica_graph_for(cfg))
 
 
@@ -138,7 +143,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         cfg, rng, first,
         edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
     if pctx is not None:
-        state = jax.device_put(state, pctx.replicated)
+        state = pctx.shard_state(state)
         first = pctx.shard_batch(first)
     tx = make_optimizer(cfg)
     step_fn = make_train_step(cfg, model, tx)
