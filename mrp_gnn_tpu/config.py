@@ -52,6 +52,12 @@ class DataConfig:
     # "native", or "numpy". Identical world geometry either way; sensor-noise
     # RNG differs per backend.
     renderer: str = "auto"
+    # On-disk dataset root (reference-style per-scene folders, data/disk.py);
+    # "" = synthetic generator.
+    dataset_root: str = ""
+    # Train-split augmentation: rig-consistent horizontal flip + photometric
+    # jitter (deterministic per seed/epoch/scene).
+    augment: bool = False
     # Background prefetch depth for the batch pipeline (0 = synchronous).
     prefetch: int = 2
     # Static padded capacities; None => exact fit for homogeneous teams.
@@ -66,6 +72,14 @@ class TrainConfig:
     warmup_steps: int = 100
     weight_decay: float = 1e-4
     grad_clip_norm: float = 1.0
+    # Rematerialize the forward during backward (jax.checkpoint): trades
+    # recompute FLOPs for activation memory — big feature maps on small HBM.
+    remat: bool = False
+    # Microbatches accumulated per optimizer step (scan inside the jitted
+    # step); effective batch = scenes_per_batch * grad_accum_steps.
+    grad_accum_steps: int = 1
+    # Raise (after checkpointing progress) when logged loss goes non-finite.
+    halt_on_nonfinite: bool = True
     depth_loss: str = "l1"  # "l1" | "berhu" | "silog"
     depth_loss_weight: float = 1.0
     seg_loss_weight: float = 1.0

@@ -58,6 +58,29 @@ class SceneDataset:
         return generate_scene(self.spec, self._seed, idx)
 
 
+def augment_scene(rec: dict, rng: np.random.Generator) -> dict:
+    """Rig-consistent augmentation of one scene record.
+
+    Horizontal flip mirrors every view AND reverses the robot order, so the
+    parallax geometry stays coherent (flipping the world flips the camera
+    baseline); index-distance graph topologies are invariant under the
+    reversal. Photometric jitter: per-scene brightness/contrast on images
+    only.
+    """
+    images, depth, seg = rec["images"], rec["depth"], rec["seg"]
+    if rng.uniform() < 0.5:
+        images = images[::-1, :, ::-1]
+        depth = depth[::-1, :, ::-1]
+        seg = seg[::-1, :, ::-1]
+    brightness = rng.uniform(0.85, 1.15)
+    contrast = rng.uniform(0.9, 1.1)
+    mean = images.mean(axis=(1, 2, 3), keepdims=True)
+    images = np.clip((images - mean) * contrast + mean * brightness, 0.0, 1.0)
+    return {"images": np.ascontiguousarray(images.astype(np.float32)),
+            "depth": np.ascontiguousarray(depth),
+            "seg": np.ascontiguousarray(seg)}
+
+
 def _pad_nodes(arr: np.ndarray, max_nodes: int) -> np.ndarray:
     pad = max_nodes - arr.shape[0]
     if pad <= 0:
@@ -72,11 +95,13 @@ class BatchIterator:
     once; only pixel data changes (cheap host work, static device shapes).
     """
 
-    def __init__(self, dataset: SceneDataset, scenes_per_batch: int,
+    def __init__(self, dataset, scenes_per_batch: int,
                  max_nodes: int | None = None, max_edges: int | None = None,
-                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
+                 augment: bool = False):
         self.ds = dataset
         self.bs = scenes_per_batch
+        self.augment = augment
         cfg = dataset.cfg
         n = cfg.num_robots
         edges = scene_edges_for(n, cfg.connectivity, cfg.comm_radius)
@@ -111,8 +136,14 @@ class BatchIterator:
             rng.shuffle(order)
         self._epoch += 1
         skip, self._skip_batches = self._skip_batches, 0
+        epoch = self._epoch - 1
         for start in range(skip * self.bs, len(order) - self.bs + 1, self.bs):
             scenes = [self.ds[int(i)] for i in order[start:start + self.bs]]
+            if self.augment:
+                scenes = [
+                    augment_scene(s, np.random.default_rng(
+                        [self.seed + 1, epoch, int(i)]))
+                    for s, i in zip(scenes, order[start:start + self.bs])]
             images = np.concatenate([s["images"] for s in scenes])
             depth = np.concatenate([s["depth"] for s in scenes])
             seg = np.concatenate([s["seg"] for s in scenes])
@@ -169,12 +200,17 @@ class PrefetchIterator:
 
 def make_dataset(cfg: DataConfig, split: str = "train",
                  shuffle: bool | None = None) -> BatchIterator:
-    ds = SceneDataset(cfg, split)
+    if cfg.dataset_root:
+        from mrp_gnn_tpu.data.disk import DiskSceneDataset
+        ds = DiskSceneDataset(cfg, split)
+    else:
+        ds = SceneDataset(cfg, split)
     return BatchIterator(
         ds, cfg.scenes_per_batch,
         max_nodes=cfg.max_nodes, max_edges=cfg.max_edges,
         shuffle=(split == "train") if shuffle is None else shuffle,
         seed=cfg.seed,
+        augment=cfg.augment and split == "train",
     )
 
 

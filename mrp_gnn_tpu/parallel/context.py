@@ -36,16 +36,24 @@ class ParallelContext:
         from mrp_gnn_tpu.parallel.tp import state_shardings
         return jax.device_put(state, state_shardings(state, self.mesh))
 
-    def shard_batch(self, batch: dict) -> dict:
-        """Place a host batch onto the mesh with node-axis sharding."""
+    def shard_batch(self, batch: dict, leading_accum: bool = False) -> dict:
+        """Place a host batch onto the mesh with node-axis sharding.
+
+        leading_accum: arrays carry a leading microbatch axis (gradient
+        accumulation) — the node axis is then axis 1.
+        """
         import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        node_sh = self.node_sharding
+        if leading_accum:
+            node_sh = NamedSharding(self.mesh, P(None, ("data", "graph")))
         out = {}
         for k, v in batch.items():
             if k == "graph":
                 out[k] = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, self.replicated), v)
             else:
-                out[k] = jax.device_put(jnp.asarray(v), self.node_sharding)
+                out[k] = jax.device_put(jnp.asarray(v), node_sh)
         return out
 
 

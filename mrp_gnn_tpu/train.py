@@ -68,18 +68,52 @@ def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
 def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
                     tx: optax.GradientTransformation,
                     donate: bool = True) -> Callable:
-    def train_step(state: TrainState, images, depth, seg, graph: GraphBatch):
-        batch = {"depth": depth, "seg": seg}
+    accum = max(cfg.train.grad_accum_steps, 1)
 
+    def apply_fn(params, images, graph):
+        return model.apply(params, images, graph)
+
+    if cfg.train.remat:
+        # Full-forward rematerialization: backward recomputes activations
+        # instead of holding every feature map live (SURVEY.md "HBM
+        # bandwidth" — remat trades FLOPs for memory).
+        apply_fn = jax.checkpoint(apply_fn, static_argnums=())
+
+    def grads_of(params, images, depth, seg, graph):
         def loss_fn(params):
-            out = model.apply(params, images, graph)
-            loss, terms = total_loss(out, batch, graph.node_mask,
+            out = apply_fn(params, images, graph)
+            loss, terms = total_loss(out, {"depth": depth, "seg": seg},
+                                     graph.node_mask,
                                      cfg.train.depth_loss_weight,
                                      cfg.train.seg_loss_weight,
                                      depth_loss=cfg.train.depth_loss)
             return loss, terms
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, images, depth, seg, graph: GraphBatch):
+        if accum == 1:
+            (_, terms), grads = grads_of(state.params, images, depth, seg, graph)
+        else:
+            # images/depth/seg carry a leading [accum] microbatch axis; one
+            # scan accumulates grads on-device, then a single optimizer step.
+            def micro(carry, xs):
+                g_sum, t_sum = carry
+                im, dp, sg = xs
+                (_, terms), g = grads_of(state.params, im, dp, sg, graph)
+                return (jax.tree_util.tree_map(jnp.add, g_sum, g),
+                        jax.tree_util.tree_map(jnp.add, t_sum, terms)), ()
+
+            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zeros_t = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(lambda p: grads_of(
+                    p, images[0], depth[0], seg[0], graph)[0][1], state.params))
+            (g_sum, t_sum), _ = jax.lax.scan(
+                micro, (zeros_g, zeros_t), (images, depth, seg))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            terms = jax.tree_util.tree_map(lambda t: t / accum, t_sum)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -125,26 +159,43 @@ def make_parallel(cfg: ExperimentConfig):
     return make_parallel_context(cfg, replica_graph_for(cfg))
 
 
+def _stack_microbatches(it: Iterator[dict], accum: int) -> Iterator[dict]:
+    """Group ``accum`` consecutive batches into one stacked step input."""
+    while True:
+        group = [next(it) for _ in range(accum)]
+        yield {
+            "images": np.stack([b["images"] for b in group]),
+            "depth": np.stack([b["depth"] for b in group]),
+            "seg": np.stack([b["seg"] for b in group]),
+            "graph": group[0]["graph"],
+        }
+
+
 def train(cfg: ExperimentConfig, num_steps: int | None = None,
           log_fn: Callable[[dict], None] | None = None,
           data_iter: Iterator[dict] | None = None) -> tuple:
     """Run training; returns (final TrainState, list of logged records)."""
     steps = num_steps if num_steps is not None else cfg.train.steps
+    accum = max(cfg.train.grad_accum_steps, 1)
     if data_iter is not None:
         it = data_iter
     else:
         from mrp_gnn_tpu.data.pipeline import make_train_iterator
         it = make_train_iterator(cfg.data)
+    if accum > 1:
+        it = _stack_microbatches(it, accum)
     first = next(it)
 
     pctx = make_parallel(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
+    init_batch = first if accum == 1 else {"images": first["images"][0],
+                                           "graph": first["graph"]}
     state, model = create_train_state(
-        cfg, rng, first,
+        cfg, rng, init_batch,
         edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
     if pctx is not None:
         state = pctx.shard_state(state)
-        first = pctx.shard_batch(first)
+        first = pctx.shard_batch(first, leading_accum=accum > 1)
     tx = make_optimizer(cfg)
     step_fn = make_train_step(cfg, model, tx)
 
@@ -158,9 +209,13 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             if data_iter is None and int(state.step) > 0:
                 # continue the data stream where the checkpoint left off
                 from mrp_gnn_tpu.data.pipeline import make_train_iterator
-                it = make_train_iterator(cfg.data, start_batch=int(state.step))
+                it = make_train_iterator(cfg.data,
+                                         start_batch=int(state.step) * accum)
+                if accum > 1:
+                    it = _stack_microbatches(it, accum)
                 batch0 = next(it)
-                first = pctx.shard_batch(batch0) if pctx else batch0
+                first = (pctx.shard_batch(batch0, leading_accum=accum > 1)
+                         if pctx else batch0)
 
     tb_writer = None
     if cfg.train.tensorboard_dir:
@@ -174,7 +229,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     start_step = int(state.step)
     for i in range(start_step, steps):
         if pctx is not None and i > start_step:
-            batch = pctx.shard_batch(batch)
+            batch = pctx.shard_batch(batch, leading_accum=accum > 1)
         state, terms = step_fn(state, jnp.asarray(batch["images"]),
                                jnp.asarray(batch["depth"]),
                                jnp.asarray(batch["seg"]), batch["graph"])
@@ -186,6 +241,13 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             records.append(rec)
             if log_fn:
                 log_fn(rec)
+            if cfg.train.halt_on_nonfinite and not np.isfinite(rec["total"]):
+                # Failure detection (SURVEY.md section 5): stop before the
+                # divergent state can overwrite a good checkpoint; the last
+                # saved checkpoint remains the restart point.
+                raise FloatingPointError(
+                    f"non-finite loss {rec['total']} at step {i + 1}; "
+                    f"restart resumes from the last checkpoint")
             if tb_writer is not None:
                 tb_writer.write_scalars(
                     i + 1, {k: v for k, v in rec.items()
@@ -213,6 +275,9 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--depth_loss", default=None, choices=["l1", "berhu", "silog"])
     p.add_argument("--train_scenes", type=int, default=None)
+    p.add_argument("--grad_accum", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--augment", action="store_true")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -229,10 +294,16 @@ def main(argv=None):
         tr = dataclasses.replace(tr, depth_loss=args.depth_loss)
     if args.steps is not None:
         tr = dataclasses.replace(tr, steps=args.steps)
+    if args.grad_accum is not None:
+        tr = dataclasses.replace(tr, grad_accum_steps=args.grad_accum)
+    if args.remat:
+        tr = dataclasses.replace(tr, remat=True)
     cfg = cfg.replace(train=tr)
     if args.train_scenes is not None:
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, num_train_scenes=args.train_scenes))
+    if args.augment:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, augment=True))
 
     print(f"[train] config={cfg.name} steps={cfg.train.steps} "
           f"backend={jax.default_backend()} devices={jax.device_count()}")

@@ -1,0 +1,63 @@
+"""Trainer features: gradient accumulation, remat, non-finite watchdog."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mrp_gnn_tpu.config import get_config
+from mrp_gnn_tpu.train import train
+
+
+def _cfg(cfg_name="single_robot_depth", steps=6, scenes_per_batch=4, **train_kw):
+    cfg = get_config(cfg_name)
+    data = dataclasses.replace(cfg.data, image_size=(16, 16),
+                               num_train_scenes=8, num_eval_scenes=2,
+                               scenes_per_batch=scenes_per_batch)
+    model = dataclasses.replace(cfg.model, image_size=(16, 16),
+                                encoder_channels=(8, 16))
+    train_kw.setdefault("learning_rate", 1e-3)
+    tr = dataclasses.replace(cfg.train, steps=steps, warmup_steps=2,
+                             log_every=1, **train_kw)
+    return cfg.replace(data=data, model=model, train=tr)
+
+
+def _losses(cfg):
+    _, records = train(cfg)
+    return np.array([r["total"] for r in records])
+
+
+def test_grad_accum_matches_large_batch():
+    # accum=2 over 2-scene microbatches consumes the same 4 scenes per
+    # optimizer step as scenes_per_batch=4, and the accumulated mean grad
+    # equals the large-batch grad -> identical training trajectories.
+    big = _losses(_cfg(scenes_per_batch=4))
+    accum = _losses(_cfg(scenes_per_batch=2, grad_accum_steps=2))
+    np.testing.assert_allclose(accum, big, rtol=1e-4, atol=1e-6)
+
+
+def test_remat_matches_plain_backward():
+    plain = _losses(_cfg(steps=4))
+    remat = _losses(_cfg(steps=4, remat=True))
+    np.testing.assert_allclose(remat, plain, rtol=1e-5, atol=1e-7)
+
+
+def test_remat_with_accum_and_fusion():
+    cfg = _cfg("two_robot_mean", steps=4, scenes_per_batch=2,
+               grad_accum_steps=2, remat=True)
+    losses = _losses(cfg)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_nonfinite_watchdog_halts():
+    cfg = _cfg(steps=30, learning_rate=1e18, grad_clip_norm=1e18)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train(cfg)
+
+
+def test_watchdog_can_be_disabled():
+    cfg = _cfg(steps=5, learning_rate=1e18, grad_clip_norm=1e18,
+               halt_on_nonfinite=False)
+    _, records = train(cfg)  # completes despite divergence
+    assert len(records) == 5
