@@ -99,6 +99,11 @@ class ParallelConfig:
     data_axis_size: int = 1
     graph_axis_size: int = 1
     model_axis_size: int = 1
+    # Use the "model" axis for spatial (image-H) activation sharding instead
+    # of channel tensor parallelism — the SP analog for dense feature maps
+    # (GSPMD inserts conv halo exchanges). Mutually exclusive with TP param
+    # sharding; params stay replicated.
+    spatial_sharding: bool = False
     # Backend for the fusion ops: "xla" | "pallas".
     ops_impl: str = "xla"
     # Overlap boundary feature exchange with local aggregation (config 5).

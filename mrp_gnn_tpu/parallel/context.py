@@ -29,10 +29,14 @@ class ParallelContext:
     edge_fusion_fn: Optional[Callable]
     node_sharding: NamedSharding      # [V, ...] arrays
     replicated: NamedSharding
+    spatial: bool = False             # "model" axis shards image H instead
 
     def shard_state(self, state):
         """Place a TrainState: params/moments TP-sharded over "model"
-        (replicated when the axis is trivial), scalars replicated."""
+        (replicated when the axis is trivial or used spatially), scalars
+        replicated."""
+        if self.spatial:
+            return jax.device_put(state, self.replicated)
         from mrp_gnn_tpu.parallel.tp import state_shardings
         return jax.device_put(state, state_shardings(state, self.mesh))
 
@@ -43,17 +47,21 @@ class ParallelContext:
         accumulation) — the node axis is then axis 1.
         """
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        node_sh = self.node_sharding
-        if leading_accum:
-            node_sh = NamedSharding(self.mesh, P(None, ("data", "graph")))
+        node = ("data", "graph")
         out = {}
         for k, v in batch.items():
             if k == "graph":
                 out[k] = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, self.replicated), v)
-            else:
-                out[k] = jax.device_put(jnp.asarray(v), node_sh)
+                continue
+            v = jnp.asarray(v)
+            # spec: [accum?, V(node), H(spatial?), ...rest]
+            spec = [node]
+            if self.spatial and v.ndim >= (3 + int(leading_accum)):
+                spec.append("model")
+            if leading_accum:
+                spec.insert(0, None)
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, P(*spec)))
         return out
 
 
@@ -82,4 +90,5 @@ def make_parallel_context(cfg: ExperimentConfig,
         edge_fusion_fn=edge_fn,
         node_sharding=NamedSharding(mesh, P(("data", "graph"))),
         replicated=NamedSharding(mesh, P()),
+        spatial=getattr(pc, "spatial_sharding", False),
     )
