@@ -150,6 +150,25 @@ def make_parallel(cfg: ExperimentConfig):
     """ParallelContext for cfg, or None for a trivial 1x1 mesh."""
     from mrp_gnn_tpu.parallel.context import make_parallel_context
     pc = cfg.parallel
+    ndev = jax.device_count()
+    if pc.data_axis_size * pc.graph_axis_size * pc.model_axis_size > ndev:
+        # Degrade gracefully on smaller machines: shrink axes (graph first,
+        # then model, then data) until the mesh fits, instead of failing a
+        # preset like swarm_partitioned on a single chip.
+        d, g, m = pc.data_axis_size, pc.graph_axis_size, pc.model_axis_size
+        while d * g * m > ndev:
+            if g > 1:
+                g = max(g // 2, 1)
+            elif m > 1:
+                m = max(m // 2, 1)
+            else:
+                d = max(d // 2, 1)
+        print(f"[train] mesh {pc.data_axis_size}x{pc.graph_axis_size}"
+              f"x{pc.model_axis_size} needs more than {ndev} device(s); "
+              f"clamped to {d}x{g}x{m}")
+        pc = dataclasses.replace(pc, data_axis_size=d, graph_axis_size=g,
+                                 model_axis_size=m)
+        cfg = cfg.replace(parallel=pc)
     if pc.data_axis_size * pc.graph_axis_size * pc.model_axis_size <= 1:
         return None
     if pc.graph_axis_size <= 1:

@@ -56,6 +56,23 @@ def test_nonfinite_watchdog_halts():
         train(cfg)
 
 
+def test_mesh_clamps_to_available_devices():
+    # swarm_partitioned asks for graph_axis_size=8; on a machine with fewer
+    # devices the mesh must degrade instead of failing the preset.
+    import dataclasses as dc
+    cfg = _cfg("two_robot_mean", steps=1, scenes_per_batch=4)
+    cfg = cfg.replace(parallel=dc.replace(cfg.parallel, data_axis_size=4,
+                                          graph_axis_size=4,
+                                          model_axis_size=2))  # needs 32
+    from mrp_gnn_tpu.train import make_parallel
+    pctx = make_parallel(cfg)  # 8 devices available
+    assert pctx is not None
+    total = np.prod(list(pctx.mesh.shape.values()))
+    assert total <= 8
+    losses = _losses(cfg)
+    assert np.isfinite(losses).all()
+
+
 def test_watchdog_can_be_disabled():
     cfg = _cfg(steps=5, learning_rate=1e18, grad_clip_norm=1e18,
                halt_on_nonfinite=False)
