@@ -86,6 +86,10 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 500
     checkpoint_dir: str = ""
+    # Periodic validation during training (reference behavior, SURVEY.md
+    # section 3.1): every N steps run the eval split and log metrics;
+    # 0 = off. The best depth-RMSE step is tracked in the run records.
+    eval_every: int = 0
     # TensorBoard scalar summaries via clu.metric_writers ("" = disabled);
     # the JSONL log_fn stream is always available regardless.
     tensorboard_dir: str = ""

@@ -111,6 +111,7 @@ class BatchIterator:
             max_edges=max_edges or max(scenes_per_batch * edges.shape[1], 1),
         )
         self.max_nodes = self.graph.max_nodes
+        self._scene_edges = edges
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -137,13 +138,25 @@ class BatchIterator:
         self._epoch += 1
         skip, self._skip_batches = self._skip_batches, 0
         epoch = self._epoch - 1
-        for start in range(skip * self.bs, len(order) - self.bs + 1, self.bs):
-            scenes = [self.ds[int(i)] for i in order[start:start + self.bs]]
+        starts = list(range(skip * self.bs, len(order) - self.bs + 1, self.bs))
+        tail = len(order) - (len(order) % self.bs)
+        if not self.drop_remainder and tail < len(order) and tail >= skip * self.bs:
+            starts.append(tail)  # partial final batch (padded + masked)
+        for start in starts:
+            idxs = order[start:start + self.bs]
+            scenes = [self.ds[int(i)] for i in idxs]
             if self.augment:
                 scenes = [
                     augment_scene(s, np.random.default_rng(
                         [self.seed + 1, epoch, int(i)]))
-                    for s, i in zip(scenes, order[start:start + self.bs])]
+                    for s, i in zip(scenes, idxs)]
+            graph = self.graph
+            if len(scenes) < self.bs:
+                # same static shapes, node_mask False on the missing scenes
+                graph = batch_homogeneous(
+                    len(scenes), self.ds.cfg.num_robots, self._scene_edges,
+                    max_nodes=self.max_nodes,
+                    max_edges=self.graph.max_edges)
             images = np.concatenate([s["images"] for s in scenes])
             depth = np.concatenate([s["depth"] for s in scenes])
             seg = np.concatenate([s["seg"] for s in scenes])
@@ -151,7 +164,7 @@ class BatchIterator:
                 "images": _pad_nodes(images, self.max_nodes),
                 "depth": _pad_nodes(depth, self.max_nodes),
                 "seg": _pad_nodes(seg, self.max_nodes),
-                "graph": self.graph,
+                "graph": graph,
             }
 
     def repeat(self):
@@ -210,6 +223,8 @@ def make_dataset(cfg: DataConfig, split: str = "train",
         max_nodes=cfg.max_nodes, max_edges=cfg.max_edges,
         shuffle=(split == "train") if shuffle is None else shuffle,
         seed=cfg.seed,
+        # eval must see every scene: partial final batch padded + masked
+        drop_remainder=split == "train",
         augment=cfg.augment and split == "train",
     )
 

@@ -243,6 +243,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             cfg.train.tensorboard_dir, just_logging=jax.process_index() > 0)
 
     records = []
+    best_rmse, best_step = float("inf"), -1
     batch = first
     t0 = time.perf_counter()
     start_step = int(state.step)
@@ -271,10 +272,30 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                 tb_writer.write_scalars(
                     i + 1, {k: v for k, v in rec.items()
                             if k not in ("step",) and isinstance(v, float)})
+        if (cfg.train.eval_every and (i + 1) % cfg.train.eval_every == 0):
+            from mrp_gnn_tpu.evaluate import evaluate
+            ev = evaluate(cfg, state.params, pctx=pctx)
+            ev_rec = {"step": i + 1,
+                      **{f"eval_{k}": v for k, v in ev.items()}}
+            records.append(ev_rec)
+            if log_fn:
+                log_fn(ev_rec)
+            if tb_writer is not None:
+                tb_writer.write_scalars(
+                    i + 1, {k: float(v) for k, v in ev_rec.items()
+                            if k != "step"})
+            if "rmse" in ev and ev["rmse"] < best_rmse:
+                best_rmse, best_step = ev["rmse"], i + 1
         if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
                          or i == steps - 1):
             ckpt_mgr.save(i + 1, state)
         batch = next(it)
+    if best_step >= 0:
+        rec = {"step": steps, "best_eval_rmse": best_rmse,
+               "best_eval_step": best_step}
+        records.append(rec)
+        if log_fn:
+            log_fn(rec)
     if ckpt_mgr:
         ckpt_mgr.close()
     if tb_writer is not None:
@@ -295,6 +316,8 @@ def main(argv=None):
     p.add_argument("--depth_loss", default=None, choices=["l1", "berhu", "silog"])
     p.add_argument("--train_scenes", type=int, default=None)
     p.add_argument("--grad_accum", type=int, default=None)
+    p.add_argument("--eval_every", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true")
     p.add_argument("--augment", action="store_true")
     args = p.parse_args(argv)
@@ -315,6 +338,8 @@ def main(argv=None):
         tr = dataclasses.replace(tr, steps=args.steps)
     if args.grad_accum is not None:
         tr = dataclasses.replace(tr, grad_accum_steps=args.grad_accum)
+    if args.eval_every is not None:
+        tr = dataclasses.replace(tr, eval_every=args.eval_every)
     if args.remat:
         tr = dataclasses.replace(tr, remat=True)
     cfg = cfg.replace(train=tr)
@@ -323,12 +348,16 @@ def main(argv=None):
             cfg.data, num_train_scenes=args.train_scenes))
     if args.augment:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, augment=True))
+    if args.dtype is not None:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    dtype=args.dtype))
 
     print(f"[train] config={cfg.name} steps={cfg.train.steps} "
           f"backend={jax.default_backend()} devices={jax.device_count()}")
     _, records = train(cfg, log_fn=lambda r: print(json.dumps(r)))
-    if records:
-        print(f"[train] final loss {records[-1]['total']:.4f}")
+    losses = [r["total"] for r in records if "total" in r]
+    if losses:
+        print(f"[train] final loss {losses[-1]:.4f}")
 
 
 if __name__ == "__main__":

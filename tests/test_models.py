@@ -68,6 +68,26 @@ def test_fusion_respects_scene_boundaries():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_heterogeneous_team_sizes_forward():
+    # Mixed 2/4/3-robot scenes share one padded batch (edge-list path; no
+    # block metadata) — outputs finite, padded node slots exactly zero.
+    import dataclasses as dc
+    from mrp_gnn_tpu.graph import build_graph_batch, fully_connected_edges
+    cfg = dc.replace(get_config("five_robot_attention").model,
+                     image_size=(16, 16), encoder_channels=(8, 16))
+    sizes = [2, 4, 3]
+    gb = build_graph_batch([fully_connected_edges(n) for n in sizes], sizes,
+                           max_nodes=12, max_edges=24)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(12, 16, 16, 3)).astype(np.float32))
+    model = MultiRobotPerceptionNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), images, gb)
+    out = model.apply(params, images, gb)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    fused = np.asarray(out["fused"])
+    assert np.abs(fused[9:]).max() == 0  # 3 padded node slots zeroed
+
+
 def test_padded_nodes_do_not_affect_valid_outputs():
     cfg = get_config("five_robot_attention")
     H, W = cfg.model.image_size

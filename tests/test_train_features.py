@@ -56,6 +56,35 @@ def test_nonfinite_watchdog_halts():
         train(cfg)
 
 
+def test_periodic_eval_and_best_tracking():
+    cfg = _cfg(steps=6, eval_every=3)
+    _, records = train(cfg)
+    evals = [r for r in records if "eval_rmse" in r]
+    assert len(evals) == 2 and all(np.isfinite(e["eval_rmse"]) for e in evals)
+    best = [r for r in records if "best_eval_rmse" in r]
+    assert len(best) == 1
+    assert best[0]["best_eval_rmse"] == min(e["eval_rmse"] for e in evals)
+    assert best[0]["best_eval_step"] in (3, 6)
+
+
+def test_eval_partial_batch_invariance():
+    # 6 eval scenes with batch 4 -> one full + one padded partial batch;
+    # metrics must equal the cleanly-divisible batching of the same scenes.
+    import jax
+    from mrp_gnn_tpu.evaluate import evaluate
+    cfg = _cfg(steps=2)
+    state, _ = train(cfg)
+    cfg_a = cfg.replace(data=dataclasses.replace(cfg.data, num_eval_scenes=6,
+                                                 scenes_per_batch=4))
+    cfg_b = cfg.replace(data=dataclasses.replace(cfg.data, num_eval_scenes=6,
+                                                 scenes_per_batch=2))
+    ra = evaluate(cfg_a, state.params)
+    rb = evaluate(cfg_b, state.params)
+    for k in ("rmse", "abs_rel", "delta1"):
+        np.testing.assert_allclose(ra[k], rb[k], rtol=1e-5,
+                                   err_msg=f"metric {k}")
+
+
 def test_mesh_clamps_to_available_devices():
     # swarm_partitioned asks for graph_axis_size=8; on a machine with fewer
     # devices the mesh must degrade instead of failing the preset.
