@@ -22,6 +22,9 @@ class ModelConfig:
     fusion: str = "attention"
     num_fusion_layers: int = 1
     attention_dim: int = 64
+    # Independent attention heads over channel groups (1 = the reference's
+    # single scalar weight per robot pair). Requires channels % heads == 0.
+    attention_heads: int = 1
     # Heads.
     predict_depth: bool = True
     num_seg_classes: int = 0  # 0 => no segmentation head

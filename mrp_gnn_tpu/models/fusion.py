@@ -68,6 +68,7 @@ class GraphFusionLayer(nn.Module):
 
     aggregation: str = "attention"
     attention_dim: int = 64
+    attention_heads: int = 1
     norm_groups: int = 8
     dtype: jnp.dtype = jnp.float32
     ops_impl: str = "xla"
@@ -85,21 +86,48 @@ class GraphFusionLayer(nn.Module):
 
         # Values: 1x1-conv transform of the source feature map.
         values = nn.Conv(C, (1, 1), dtype=self.dtype, name="value")(feats)
-        flat_values = values.reshape(V, h * w * C)
+        heads = self.attention_heads if self.aggregation == "attention" else 1
+        if heads > 1 and C % heads:
+            raise ValueError(f"channels {C} not divisible by "
+                             f"attention_heads={heads}")
+        if heads > 1 and self.edge_fusion_fn is not None:
+            raise NotImplementedError(
+                "multi-head attention is not supported on the partitioned "
+                "(shard_map) fusion path yet; use attention_heads=1 with "
+                "graph_axis_size > 1")
 
         if self.aggregation == "attention":
             # Edge scores from globally-pooled descriptors: cheap relative to
             # the value SpMM, and matches the reference's per-pair scalar
-            # attention over pooled features (SURVEY.md 3.3).
+            # attention over pooled features (SURVEY.md 3.3). With heads > 1,
+            # each head scores its own channel group independently.
             pooled = feats.mean(axis=(1, 2))  # [V, C]
-            q = nn.Dense(self.attention_dim, dtype=self.dtype, name="query")(pooled)
-            k = nn.Dense(self.attention_dim, dtype=self.dtype, name="key")(pooled)
+            q = nn.Dense(heads * self.attention_dim, dtype=self.dtype,
+                         name="query")(pooled)
+            k = nn.Dense(heads * self.attention_dim, dtype=self.dtype,
+                         name="key")(pooled)
         else:
             q = k = None
-        with jax.named_scope(f"graph_fusion_{self.aggregation}"):
-            msg = edge_fn(ops, self.aggregation, q, k, flat_values, graph)
 
-        msg = msg.reshape(V, h, w, C)
+        with jax.named_scope(f"graph_fusion_{self.aggregation}"):
+            if heads > 1:
+                # [V, h*w, heads, C/heads] -> per-head flat feature vectors;
+                # vmap the whole edge block over the head axis.
+                vh = values.reshape(V, h * w, heads, C // heads)
+                vh = vh.transpose(0, 2, 1, 3).reshape(
+                    V, heads, h * w * (C // heads))
+                qh = q.reshape(V, heads, self.attention_dim)
+                kh = k.reshape(V, heads, self.attention_dim)
+                msg = jax.vmap(
+                    lambda qx, kx, vx: edge_fn(ops, "attention", qx, kx, vx,
+                                               graph),
+                    in_axes=1, out_axes=1)(qh, kh, vh)
+                msg = msg.reshape(V, heads, h * w, C // heads)
+                msg = msg.transpose(0, 2, 1, 3).reshape(V, h, w, C)
+            else:
+                flat_values = values.reshape(V, h * w * C)
+                msg = edge_fn(ops, self.aggregation, q, k, flat_values, graph)
+                msg = msg.reshape(V, h, w, C)
         # Fuse ego features with the aggregated neighbourhood message.
         fused = jnp.concatenate([feats, msg], axis=-1)
         fused = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype,

@@ -40,6 +40,7 @@ class MultiRobotPerceptionNet(nn.Module):
                 fused = GraphFusionLayer(
                     aggregation=cfg.fusion,
                     attention_dim=cfg.attention_dim,
+                    attention_heads=cfg.attention_heads,
                     norm_groups=cfg.norm_groups,
                     dtype=dtype,
                     ops_impl=self.ops_impl,

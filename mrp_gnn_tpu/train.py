@@ -245,7 +245,10 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     records = []
     best_rmse, best_step = float("inf"), -1
     batch = first
+    n_nodes = int(np.asarray(first["graph"].n_nodes)) * accum
+    n_edges = int(np.asarray(first["graph"].n_edges)) * accum
     t0 = time.perf_counter()
+    t_last, step_last = t0, int(state.step)
     start_step = int(state.step)
     for i in range(start_step, steps):
         if pctx is not None and i > start_step:
@@ -255,9 +258,13 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                                jnp.asarray(batch["seg"]), batch["graph"])
         if (i + 1) % cfg.train.log_every == 0 or i == steps - 1:
             terms = jax.device_get(terms)
+            now = time.perf_counter()
+            dt = (now - t_last) / max(i + 1 - step_last, 1)
+            t_last, step_last = now, i + 1
             rec = {"step": i + 1,
                    **{k: float(v) for k, v in terms.items()},
-                   "wall_s": time.perf_counter() - t0}
+                   "wall_s": now - t0, "step_time_s": dt,
+                   "views_per_s": n_nodes / dt, "edges_per_s": n_edges / dt}
             records.append(rec)
             if log_fn:
                 log_fn(rec)

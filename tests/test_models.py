@@ -88,6 +88,41 @@ def test_heterogeneous_team_sizes_forward():
     assert np.abs(fused[9:]).max() == 0  # 3 padded node slots zeroed
 
 
+def test_multihead_attention_forward_and_train():
+    import dataclasses as dc
+    cfg = get_config("five_robot_attention")
+    mcfg = dc.replace(cfg.model, image_size=(16, 16),
+                      encoder_channels=(8, 16), attention_heads=4)
+    gb = batch_fully_connected(2, 5)
+    V = gb.max_nodes
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(V, 16, 16, 3)).astype(np.float32))
+    model = MultiRobotPerceptionNet(mcfg)
+    params = model.init(jax.random.PRNGKey(0), images, gb)
+    out = model.apply(params, images, gb)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    # query projection carries heads * attention_dim features
+    qk = params["params"]["fusion0"]["query"]["kernel"]
+    assert qk.shape[-1] == 4 * mcfg.attention_dim
+    # gradients flow
+    g = jax.grad(lambda p: model.apply(p, images, gb)["depth"].sum())(params)
+    gn = np.asarray(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), g, jnp.zeros(())))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_multihead_heads_must_divide_channels():
+    import dataclasses as dc
+    cfg = get_config("five_robot_attention")
+    mcfg = dc.replace(cfg.model, image_size=(16, 16),
+                      encoder_channels=(8, 24), attention_heads=5)
+    gb = batch_fully_connected(1, 5)
+    images = jnp.zeros((5, 16, 16, 3), jnp.float32)
+    model = MultiRobotPerceptionNet(mcfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        model.init(jax.random.PRNGKey(0), images, gb)
+
+
 def test_padded_nodes_do_not_affect_valid_outputs():
     cfg = get_config("five_robot_attention")
     H, W = cfg.model.image_size
