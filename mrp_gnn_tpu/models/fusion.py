@@ -90,11 +90,8 @@ class GraphFusionLayer(nn.Module):
         if heads > 1 and C % heads:
             raise ValueError(f"channels {C} not divisible by "
                              f"attention_heads={heads}")
-        if heads > 1 and self.edge_fusion_fn is not None:
-            raise NotImplementedError(
-                "multi-head attention is not supported on the partitioned "
-                "(shard_map) fusion path yet; use attention_heads=1 with "
-                "graph_axis_size > 1")
+        # heads > 1 composes with every edge_fn, including the partitioned
+        # shard_map path: vmap batches the shard_map body per head.
 
         if self.aggregation == "attention":
             # Edge scores from globally-pooled descriptors: cheap relative to

@@ -65,6 +65,18 @@ def test_tp_composes_with_graph_partitioning():
     np.testing.assert_allclose(combo, base, rtol=5e-4, atol=5e-5)
 
 
+def test_multihead_composes_with_partitioned_fusion():
+    # attention_heads > 1 vmaps the shard_map edge block per head; the
+    # 3-axis-mesh run must match single-device training.
+    def with_heads(cfg):
+        return cfg.replace(model=dataclasses.replace(cfg.model,
+                                                     attention_heads=2))
+    base = _losses(with_heads(_tiny("multitask_batched", 3, num_robots=4)))
+    part = _losses(with_heads(_tiny("multitask_batched", 3, data_ax=2,
+                                    graph_ax=2, model_ax=2, num_robots=4)))
+    np.testing.assert_allclose(part, base, rtol=5e-4, atol=5e-5)
+
+
 def test_tp_params_are_actually_sharded():
     cfg = _tiny("single_robot_depth", 1, model_ax=2)
     from mrp_gnn_tpu.data.pipeline import make_train_iterator
