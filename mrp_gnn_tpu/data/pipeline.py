@@ -16,7 +16,7 @@ import numpy as np
 
 from mrp_gnn_tpu.config import DataConfig
 from mrp_gnn_tpu.data.synthetic import SceneSpec, generate_scene
-from mrp_gnn_tpu.graph import GraphBatch, batch_homogeneous, scene_edges_for
+from mrp_gnn_tpu.graph import batch_homogeneous, scene_edges_for
 
 
 class SceneDataset:

@@ -24,11 +24,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from mrp_gnn_tpu.ops import reference as R
 
 _NEG = -1e30
 

@@ -22,7 +22,6 @@ reduce-scatter automatically.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -105,7 +105,7 @@ def test_depth_loss_variants_train():
         assert np.isfinite([r["total"] for r in records]).all()
 
 
-def test_iterator_fast_forward_matches_continuous():
+def test_iterator_fast_forward_matches_continuous():  # noqa: uses make_train_iterator
     from mrp_gnn_tpu.config import DataConfig
     from mrp_gnn_tpu.data.pipeline import make_dataset, make_train_iterator
     cfg = dataclasses.replace(

@@ -58,7 +58,6 @@ def test_checkpoint_save_and_resume(tmp_path):
 
 
 def test_eval_metrics_finite():
-    import jax
     from mrp_gnn_tpu.evaluate import evaluate
     cfg = _tiny("multitask_batched", steps=5, num_robots=2)
     state, _ = train(cfg)

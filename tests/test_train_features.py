@@ -70,7 +70,6 @@ def test_periodic_eval_and_best_tracking():
 def test_eval_partial_batch_invariance():
     # 6 eval scenes with batch 4 -> one full + one padded partial batch;
     # metrics must equal the cleanly-divisible batching of the same scenes.
-    import jax
     from mrp_gnn_tpu.evaluate import evaluate
     cfg = _cfg(steps=2)
     state, _ = train(cfg)
