@@ -61,6 +61,10 @@ class DataConfig:
     # Train-split augmentation: rig-consistent horizontal flip + photometric
     # jitter (deterministic per seed/epoch/scene).
     augment: bool = False
+    # Probability that a robot's camera is degraded (heavy sensor noise) in
+    # each scene — models unreliable teammates; learned edge attention
+    # should down-weight degraded senders where mean aggregation cannot.
+    degraded_fraction: float = 0.0
     # Background prefetch depth for the batch pipeline (0 = synchronous).
     prefetch: int = 2
     # Static padded capacities; None => exact fit for homogeneous teams.

@@ -50,12 +50,37 @@ class SceneDataset:
         return self.num_scenes
 
     def __getitem__(self, idx: int) -> dict:
+        rec = None
         if self._use_native:
             from mrp_gnn_tpu.data import native
-            out = native.render_scene_native(self.spec, self._seed, idx)
-            if out is not None:
-                return out
-        return generate_scene(self.spec, self._seed, idx)
+            rec = native.render_scene_native(self.spec, self._seed, idx)
+        if rec is None:
+            rec = generate_scene(self.spec, self._seed, idx)
+        if self.cfg.degraded_fraction > 0:
+            rec = degrade_robots(rec, self.cfg.degraded_fraction,
+                                 self._seed, idx)
+        return rec
+
+
+def degrade_robots(rec: dict, fraction: float, seed: int, idx: int) -> dict:
+    """Corrupt a random subset of robots' cameras with heavy sensor noise.
+
+    GT depth/seg are untouched: a degraded robot still has to predict its
+    own view (mostly from teammates' messages), and teammates should learn
+    to down-weight its outgoing messages (edge attention's job). At least
+    one robot per scene stays clean. Deterministic per (seed, idx).
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed + 7, idx]))
+    N = rec["images"].shape[0]
+    bad = rng.uniform(size=N) < fraction
+    if bad.all():
+        bad[int(rng.integers(N))] = False
+    if not bad.any():
+        return rec
+    images = rec["images"].copy()
+    noise = rng.uniform(size=images[bad].shape).astype(np.float32)
+    images[bad] = np.clip(0.15 * images[bad] + 0.85 * noise, 0.0, 1.0)
+    return {**rec, "images": images}
 
 
 def augment_scene(rec: dict, rng: np.random.Generator) -> dict:

@@ -325,6 +325,10 @@ def main(argv=None):
     p.add_argument("--grad_accum", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="on non-finite loss, resume from the last checkpoint "
+                        "with halved LR up to N times (needs "
+                        "--checkpoint_dir)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--augment", action="store_true")
     args = p.parse_args(argv)
@@ -361,7 +365,24 @@ def main(argv=None):
 
     print(f"[train] config={cfg.name} steps={cfg.train.steps} "
           f"backend={jax.default_backend()} devices={jax.device_count()}")
-    _, records = train(cfg, log_fn=lambda r: print(json.dumps(r)))
+    # Restart-based divergence recovery (SURVEY.md section 5 "Failure
+    # detection"): the watchdog raises before a bad state is checkpointed;
+    # resuming replays from the last good checkpoint with halved LR so the
+    # deterministic data stream does not re-diverge identically.
+    restarts = 0
+    while True:
+        try:
+            _, records = train(cfg, log_fn=lambda r: print(json.dumps(r)))
+            break
+        except FloatingPointError as e:
+            if restarts >= args.max_restarts or not cfg.train.checkpoint_dir:
+                raise
+            restarts += 1
+            new_lr = cfg.train.learning_rate * 0.5
+            print(f"[train] {e}; restart {restarts}/{args.max_restarts} "
+                  f"with lr={new_lr:g}")
+            cfg = cfg.replace(train=dataclasses.replace(
+                cfg.train, learning_rate=new_lr))
     losses = [r["total"] for r in records if "total" in r]
     if losses:
         print(f"[train] final loss {losses[-1]:.4f}")

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--scenes", type=int, default=256)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--heads", type=int, default=1)
+    p.add_argument("--degraded", type=float, default=0.0,
+                   help="fraction of robots with corrupted cameras — "
+                        "attention should beat mean here")
     args = p.parse_args()
 
     import jax
@@ -45,7 +48,8 @@ def main():
             data=dataclasses.replace(
                 cfg.data, image_size=(args.image, args.image),
                 num_robots=args.robots, scenes_per_batch=4,
-                num_train_scenes=args.scenes, num_eval_scenes=64),
+                num_train_scenes=args.scenes, num_eval_scenes=64,
+                degraded_fraction=args.degraded),
             train=dataclasses.replace(
                 cfg.train, steps=args.steps, log_every=max(args.steps // 4, 1)),
         )

@@ -101,6 +101,34 @@ def test_mesh_clamps_to_available_devices():
     assert np.isfinite(losses).all()
 
 
+def test_degraded_robots_deterministic_and_bounded():
+    from mrp_gnn_tpu.data.pipeline import SceneDataset
+    cfg = _cfg("five_robot_attention", steps=1).data
+    cfg = dataclasses.replace(cfg, degraded_fraction=1.0)
+    clean = SceneDataset(dataclasses.replace(cfg, degraded_fraction=0.0),
+                         "train")[0]
+    a = SceneDataset(cfg, "train")[0]
+    b = SceneDataset(cfg, "train")[0]
+    np.testing.assert_array_equal(a["images"], b["images"])  # deterministic
+    np.testing.assert_array_equal(a["depth"], clean["depth"])  # GT untouched
+    np.testing.assert_array_equal(a["seg"], clean["seg"])
+    # fraction 1.0 still leaves at least one clean camera
+    same = [(a["images"][i] == clean["images"][i]).all()
+            for i in range(a["images"].shape[0])]
+    assert any(same) and not all(same)
+
+
+def test_cli_auto_restart_on_divergence(tmp_path, capsys):
+    from mrp_gnn_tpu.train import main
+    args = ["--config", "single_robot_depth", "--steps", "8",
+            "--lr", "1e18", "--log_every", "1", "--train_scenes", "8",
+            "--checkpoint_dir", str(tmp_path / "ck"), "--max_restarts", "1"]
+    with pytest.raises(FloatingPointError):
+        main(args)
+    out = capsys.readouterr().out
+    assert "restart 1/1" in out
+
+
 def test_watchdog_can_be_disabled():
     cfg = _cfg(steps=5, learning_rate=1e18, grad_clip_norm=1e18,
                halt_on_nonfinite=False)
