@@ -76,9 +76,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--dataset_root", default=None,
+                   help="evaluate on on-disk scene folders (docs/data.md)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
+    if args.dataset_root is not None:
+        import dataclasses
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, dataset_root=args.dataset_root))
     sample = next(iter(make_dataset(cfg.data, "eval", shuffle=False)))
     from mrp_gnn_tpu.train import make_parallel
     pctx = make_parallel(cfg)

@@ -77,6 +77,34 @@ class Predictor:
                              f"got {tuple(images.shape)}")
         return jax.device_get(self._fn(self._params, images))
 
+    def predict_scenes(self, scene_images) -> list:
+        """Convenience: any number of scenes, chunked + padded to the
+        compiled batch shape.
+
+        scene_images: sequence of [num_robots, H, W, 3] arrays.
+        Returns a per-scene list of output dicts (padding stripped).
+        """
+        n = self.cfg.data.num_robots
+        bs = self.cfg.data.scenes_per_batch
+        scenes = [np.asarray(s, np.float32) for s in scene_images]
+        for s in scenes:
+            if s.shape[0] != n or s.shape[1:] != self.input_shape[1:]:
+                raise ValueError(f"each scene must be [{n}, "
+                                 f"{self.input_shape[1:]}], got {s.shape}")
+        results = []
+        for i in range(0, len(scenes), bs):
+            chunk = scenes[i:i + bs]
+            flat = np.concatenate(chunk)
+            pad = self.batch_nodes - flat.shape[0]
+            if pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((pad,) + flat.shape[1:], np.float32)])
+            out = self(flat)
+            for j in range(len(chunk)):
+                sl = slice(j * n, (j + 1) * n)
+                results.append({k: v[sl] for k, v in out.items()})
+        return results
+
     @classmethod
     def from_checkpoint(cls, cfg: ExperimentConfig,
                         checkpoint_dir: str) -> "Predictor":

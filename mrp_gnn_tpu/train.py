@@ -322,6 +322,8 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--depth_loss", default=None, choices=["l1", "berhu", "silog"])
     p.add_argument("--train_scenes", type=int, default=None)
+    p.add_argument("--dataset_root", default=None,
+                   help="train from on-disk scene folders (docs/data.md)")
     p.add_argument("--grad_accum", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
@@ -359,6 +361,9 @@ def main(argv=None):
             cfg.data, num_train_scenes=args.train_scenes))
     if args.augment:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, augment=True))
+    if args.dataset_root is not None:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, dataset_root=args.dataset_root))
     if args.dtype is not None:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     dtype=args.dtype))

@@ -69,6 +69,23 @@ def test_export_roundtrip(pred, tmp_path):
     assert "depth" in meta["outputs"] and "seg" in meta["outputs"]
 
 
+def test_predict_scenes_chunks_and_strips_padding(pred):
+    predictor, _, _, _, images = pred
+    # 3 scenes of 3 robots -> 2 compiled batches (capacity 2 scenes each)
+    scenes = [np.random.default_rng(i).uniform(
+        size=(3, 16, 16, 3)).astype(np.float32) for i in range(3)]
+    outs = predictor.predict_scenes(scenes)
+    assert len(outs) == 3
+    assert outs[0]["depth"].shape == (3, 16, 16)
+    # scene 0's result equals running it inside a full batch directly
+    flat = np.concatenate([scenes[0], scenes[1]])
+    direct = predictor(flat)
+    np.testing.assert_allclose(outs[0]["depth"], direct["depth"][:3],
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="each scene"):
+        predictor.predict_scenes([np.zeros((2, 16, 16, 3), np.float32)])
+
+
 def test_throughput_harness(pred):
     predictor = pred[0]
     res = predictor.throughput(iters=2)
