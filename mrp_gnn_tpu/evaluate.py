@@ -16,6 +16,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mrp_gnn_tpu import metrics as M
 from mrp_gnn_tpu.config import ExperimentConfig, get_config
@@ -24,12 +25,15 @@ from mrp_gnn_tpu.models import MultiRobotPerceptionNet
 from mrp_gnn_tpu.train import TrainState, create_train_state
 
 
-def evaluate(cfg: ExperimentConfig, params: Any, pctx=None) -> dict:
+def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
+             dump_dir: str | None = None) -> dict:
     """Run the eval split; returns a flat dict of float metrics.
 
     pctx: optional ParallelContext — evaluates with the partitioned fusion
     path and mesh-sharded batches (config 5). Metric sums are global (the
     jitted program reduces over the whole sharded batch).
+    dump_dir: write qualitative prediction panels (utils/viz.py) for the
+    first eval batch.
     """
     edge_fn = pctx.edge_fusion_fn if pctx is not None else None
     model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl,
@@ -57,6 +61,15 @@ def evaluate(cfg: ExperimentConfig, params: Any, pctx=None) -> dict:
                         jnp.asarray(batch["depth"]),
                         jnp.asarray(batch["seg"]), batch["graph"])
         acc = res if acc is None else M.tree_add(acc, res)
+        if dump_dir and n_batches == 0:
+            from mrp_gnn_tpu.utils.viz import save_panels
+            out = jax.device_get(model.apply(
+                params, jnp.asarray(batch["images"]), batch["graph"]))
+            save_panels(dump_dir, np.asarray(batch["images"]), out,
+                        {"depth": np.asarray(batch["depth"]),
+                         "seg": np.asarray(batch["seg"])},
+                        np.asarray(batch["graph"].node_mask),
+                        cfg.model.min_depth, cfg.model.max_depth)
         n_batches += 1
     if acc is None:
         raise ValueError("eval split produced no batches")
@@ -78,6 +91,8 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--dataset_root", default=None,
                    help="evaluate on on-disk scene folders (docs/data.md)")
+    p.add_argument("--dump_dir", default=None,
+                   help="write qualitative prediction panels (PNG) here")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -99,7 +114,9 @@ def main(argv=None):
             raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
         state = restored
         print(f"[eval] restored step {mgr.latest_step}")
-    results = evaluate(cfg, state.params, pctx=pctx)
+    results = evaluate(cfg, state.params, pctx=pctx, dump_dir=args.dump_dir)
+    if args.dump_dir:
+        print(f"[eval] qualitative panels -> {args.dump_dir}")
     print(json.dumps(results))
 
 

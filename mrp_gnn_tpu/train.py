@@ -333,6 +333,8 @@ def main(argv=None):
                         "--checkpoint_dir)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="enable jax_debug_nans + host-side graph validation")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -367,6 +369,13 @@ def main(argv=None):
     if args.dtype is not None:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     dtype=args.dtype))
+
+    if args.debug:
+        from mrp_gnn_tpu.utils.debug import enable_debug, validate_graph
+        enable_debug()
+        from mrp_gnn_tpu.data.pipeline import make_dataset
+        validate_graph(next(iter(make_dataset(cfg.data, "train"))) ["graph"])
+        print("[train] debug mode: jax_debug_nans on, graph validated")
 
     print(f"[train] config={cfg.name} steps={cfg.train.steps} "
           f"backend={jax.default_backend()} devices={jax.device_count()}")

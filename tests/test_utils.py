@@ -32,6 +32,29 @@ def test_checked_catches_nan():
         run(jnp.array([-1.0]))
 
 
+def test_viz_colormaps_and_panels(tmp_path):
+    import numpy as np
+    from mrp_gnn_tpu.utils.viz import depth_to_rgb, save_panels, seg_to_rgb
+    d = depth_to_rgb(np.linspace(0, 20, 64).reshape(8, 8), 0.1, 20.0)
+    assert d.shape == (8, 8, 3) and d.dtype == np.uint8
+    s = seg_to_rgb(np.arange(64).reshape(8, 8) % 6)
+    assert s.shape == (8, 8, 3) and s.dtype == np.uint8
+    V, H, W = 3, 8, 8
+    paths = save_panels(
+        str(tmp_path), np.random.rand(V, H, W, 3).astype(np.float32),
+        {"depth": np.random.rand(V, H, W).astype(np.float32) * 20,
+         "seg_logits": np.random.rand(V, H, W, 6).astype(np.float32)},
+        {"depth": np.random.rand(V, H, W).astype(np.float32) * 20,
+         "seg": np.random.randint(0, 6, (V, H, W))},
+        np.array([True, True, False]), 0.1, 20.0)
+    assert len(paths) == 2  # masked view skipped
+    import os
+    assert all(os.path.exists(p) for p in paths)
+    from PIL import Image
+    w, h = Image.open(paths[0]).size
+    assert (w, h) == (5 * W, H)  # rgb | d_pred | d_gt | seg_pred | seg_gt
+
+
 def test_step_timer():
     from mrp_gnn_tpu.utils.profiling import StepTimer
     t = StepTimer()
