@@ -80,6 +80,8 @@ def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
                     M.depth_metrics_finalize(acc["depth"]).items()})
     if "conf" in acc:
         out["miou"] = float(M.seg_miou(acc["conf"]))
+        out["iou_per_class"] = [
+            round(float(x), 5) for x in M.seg_per_class_iou(acc["conf"])]
     return out
 
 

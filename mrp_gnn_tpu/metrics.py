@@ -62,6 +62,15 @@ def seg_miou(confusion: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(present, iou, 0.0).sum() / jnp.maximum(present.sum(), 1)
 
 
+def seg_per_class_iou(confusion: jnp.ndarray) -> jnp.ndarray:
+    """Per-class IoU; classes absent from the ground truth report -1."""
+    tp = jnp.diag(confusion)
+    union = confusion.sum(0) + confusion.sum(1) - tp
+    present = confusion.sum(1) > 0
+    iou = jnp.where(union > 0, tp / jnp.maximum(union, 1), 0.0)
+    return jnp.where(present, iou, -1.0)
+
+
 def tree_add(a, b):
     import jax
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)

@@ -220,8 +220,15 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
 
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
+        import os
         from mrp_gnn_tpu.checkpoint import CheckpointManager
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        if jax.process_index() == 0:
+            # reproducibility: the config that produced these checkpoints
+            os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(cfg.train.checkpoint_dir,
+                                   "config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2)
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
             state = restored
@@ -290,7 +297,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             if tb_writer is not None:
                 tb_writer.write_scalars(
                     i + 1, {k: float(v) for k, v in ev_rec.items()
-                            if k != "step"})
+                            if k != "step" and np.isscalar(v)})
             if "rmse" in ev and ev["rmse"] < best_rmse:
                 best_rmse, best_step = ev["rmse"], i + 1
         if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
