@@ -67,6 +67,11 @@ class DataConfig:
     degraded_fraction: float = 0.0
     # Background prefetch depth for the batch pipeline (0 = synchronous).
     prefetch: int = 2
+    # Input pipeline: "builtin" (thread-prefetched BatchIterator) or
+    # "grain" (multi-process workers, per-record determinism, multi-host
+    # sharding; data/grain_pipeline.py).
+    loader: str = "builtin"
+    loader_workers: int = 0  # grain worker processes (0 = in-process)
     # Static padded capacities; None => exact fit for homogeneous teams.
     max_nodes: int | None = None
     max_edges: int | None = None

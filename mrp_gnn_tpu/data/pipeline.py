@@ -260,6 +260,12 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0):
     start_batch: resume position in batches (usually the restored step
     count), so data order continues deterministically across restarts.
     """
+    if cfg.loader == "grain":
+        from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
+        it = make_grain_iterator(cfg, "train")
+        for _ in range(start_batch):  # grain: skip-based resume
+            next(it)
+        return it
     it = make_dataset(cfg, "train")
     if start_batch:
         it.fast_forward(start_batch)
