@@ -122,7 +122,14 @@ class ParallelConfig:
     spatial_sharding: bool = False
     # Backend for the fusion ops: "xla" | "pallas".
     ops_impl: str = "xla"
-    # Overlap boundary feature exchange with local aggregation (config 5).
+    # Boundary feature exchange for the partitioned fusion (config 5):
+    # "boundary" = send/recv plan, all_to_all of only the rows each peer's
+    # boundary edges reference (contract path, BASELINE.json:5);
+    # "all_gather" = legacy full-value gather (kept for A/B benchmarking).
+    boundary_exchange: str = "boundary"
+    # Overlap boundary feature exchange with local aggregation (config 5):
+    # issue the value collective before the local partial aggregation so XLA
+    # hides the ICI transfer; False serializes it after (the A/B control).
     overlap_boundary_exchange: bool = True
 
 

@@ -87,6 +87,11 @@ class DiskSceneDataset:
     def __len__(self) -> int:
         return len(self.scenes)
 
+    def __repr__(self) -> str:
+        # Stable repr: grain validates repr(data_source) on state restore.
+        return (f"DiskSceneDataset(root={self.root!r}, "
+                f"n={len(self.scenes)}, cfg={self.cfg!r})")
+
     def __getitem__(self, idx: int) -> dict:
         d = os.path.join(self.root, self.scenes[idx])
         hw = self.cfg.image_size

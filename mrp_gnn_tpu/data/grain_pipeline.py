@@ -97,9 +97,31 @@ def make_grain_iterator(cfg: DataConfig, split: str = "train",
         worker_count=workers if workers is not None else cfg.loader_workers,
     )
 
-    def gen():
-        for batch in loader:
-            batch["graph"] = graph
-            yield batch
+    return GrainBatchIterator(loader, graph)
 
-    return gen()
+
+class GrainBatchIterator:
+    """Batch stream over a grain DataLoader that exposes grain's O(1)
+    iterator checkpointing: get_state()/set_state() serialize the exact
+    stream position, so checkpoint resume seeks instead of rendering and
+    discarding every skipped batch (train.py passes the state through
+    CheckpointManager)."""
+
+    def __init__(self, loader, graph):
+        self.graph = graph
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        batch = next(self._it)
+        batch["graph"] = self.graph
+        return batch
+
+    def get_state(self) -> str:
+        state = self._it.get_state()
+        return state.decode() if isinstance(state, bytes) else str(state)
+
+    def set_state(self, state: str) -> None:
+        self._it.set_state(state.encode())

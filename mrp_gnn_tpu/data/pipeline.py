@@ -49,6 +49,11 @@ class SceneDataset:
     def __len__(self) -> int:
         return self.num_scenes
 
+    def __repr__(self) -> str:
+        # Stable (config-derived) repr: grain validates repr(data_source)
+        # when restoring iterator state across processes.
+        return f"SceneDataset(split={self.split!r}, cfg={self.cfg!r})"
+
     def __getitem__(self, idx: int) -> dict:
         rec = None
         if self._use_native:
@@ -254,17 +259,23 @@ def make_dataset(cfg: DataConfig, split: str = "train",
     )
 
 
-def make_train_iterator(cfg: DataConfig, start_batch: int = 0):
+def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
+                        data_state: str | None = None):
     """Endless training stream; prefetched when cfg.prefetch > 0.
 
     start_batch: resume position in batches (usually the restored step
     count), so data order continues deterministically across restarts.
+    data_state: serialized grain iterator state (CheckpointManager
+    .latest_data_state()) — O(1) seek for the grain loader.
     """
     if cfg.loader == "grain":
         from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
         it = make_grain_iterator(cfg, "train")
-        for _ in range(start_batch):  # grain: skip-based resume
-            next(it)
+        if data_state is not None:
+            it.set_state(data_state)  # exact O(1) stream seek
+        else:
+            for _ in range(start_batch):  # legacy skip-based resume
+                next(it)
         return it
     it = make_dataset(cfg, "train")
     if start_batch:

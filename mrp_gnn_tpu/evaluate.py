@@ -25,20 +25,21 @@ from mrp_gnn_tpu.models import MultiRobotPerceptionNet
 from mrp_gnn_tpu.train import TrainState, create_train_state
 
 
-def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
-             dump_dir: str | None = None) -> dict:
-    """Run the eval split; returns a flat dict of float metrics.
+# Jitted eval steps cached per (model config, ops backend, edge_fn object):
+# periodic in-training validation (TrainConfig.eval_every) calls evaluate()
+# repeatedly with identical structure — a fresh closure under jax.jit would
+# pay a full recompile each time (minutes on the axon chip).
+_EVAL_STEP_CACHE: dict = {}
 
-    pctx: optional ParallelContext — evaluates with the partitioned fusion
-    path and mesh-sharded batches (config 5). Metric sums are global (the
-    jitted program reduces over the whole sharded batch).
-    dump_dir: write qualitative prediction panels (utils/viz.py) for the
-    first eval batch.
-    """
-    edge_fn = pctx.edge_fusion_fn if pctx is not None else None
-    model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl,
+
+def _get_eval_step(model_cfg, ops_impl: str, edge_fn):
+    key = (model_cfg, ops_impl, None if edge_fn is None else id(edge_fn))
+    cached = _EVAL_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    model = MultiRobotPerceptionNet(model_cfg, ops_impl=ops_impl,
                                     edge_fusion_fn=edge_fn)
-    num_classes = cfg.model.num_seg_classes
+    num_classes = model_cfg.num_seg_classes
 
     @jax.jit
     def eval_step(params, images, depth, seg, graph):
@@ -51,6 +52,26 @@ def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
             res["conf"] = M.seg_confusion_accumulate(out["seg_logits"], seg,
                                                      graph.node_mask, num_classes)
         return res
+
+    if len(_EVAL_STEP_CACHE) > 16:  # bound the cache (id() keys can recycle)
+        _EVAL_STEP_CACHE.clear()
+    _EVAL_STEP_CACHE[key] = (model, eval_step)
+    return model, eval_step
+
+
+def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
+             dump_dir: str | None = None) -> dict:
+    """Run the eval split; returns a flat dict of float metrics.
+
+    pctx: optional ParallelContext — evaluates with the partitioned fusion
+    path and mesh-sharded batches (config 5). Metric sums are global (the
+    jitted program reduces over the whole sharded batch).
+    dump_dir: write qualitative prediction panels (utils/viz.py) for the
+    first eval batch.
+    """
+    edge_fn = pctx.edge_fusion_fn if pctx is not None else None
+    model, eval_step = _get_eval_step(cfg.model, cfg.parallel.ops_impl,
+                                      edge_fn)
 
     acc = None
     n_batches = 0
@@ -86,8 +107,6 @@ def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
 
 
 def main(argv=None):
-    from mrp_gnn_tpu.utils.platform import apply_platform_env
-    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint_dir", default=None)
@@ -95,7 +114,12 @@ def main(argv=None):
                    help="evaluate on on-disk scene folders (docs/data.md)")
     p.add_argument("--dump_dir", default=None,
                    help="write qualitative prediction panels (PNG) here")
+    from mrp_gnn_tpu.train import add_multihost_args, init_multihost
+    add_multihost_args(p)
     args = p.parse_args(argv)
+    init_multihost(args)
+    from mrp_gnn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
 
     cfg = get_config(args.config)
     if args.dataset_root is not None:

@@ -22,6 +22,21 @@ from mrp_gnn_tpu.parallel.mesh import make_mesh
 from mrp_gnn_tpu.parallel.partition import EdgePartitionPlan, partition_graph
 
 
+def _put(value, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes.
+
+    With >1 process a host value cannot be device_put onto non-addressable
+    devices; build the global array from per-host callbacks instead (every
+    process holds the same full value — the deterministic pipeline renders
+    identically from the shared seed)."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    import numpy as np
+    arr = np.asarray(value)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 @dataclasses.dataclass(frozen=True)
 class ParallelContext:
     mesh: Mesh
@@ -36,9 +51,12 @@ class ParallelContext:
         (replicated when the axis is trivial or used spatially), scalars
         replicated."""
         if self.spatial:
-            return jax.device_put(state, self.replicated)
-        from mrp_gnn_tpu.parallel.tp import state_shardings
-        return jax.device_put(state, state_shardings(state, self.mesh))
+            shardings = jax.tree_util.tree_map(lambda _: self.replicated,
+                                               state)
+        else:
+            from mrp_gnn_tpu.parallel.tp import state_shardings
+            shardings = state_shardings(state, self.mesh)
+        return jax.tree_util.tree_map(_put, state, shardings)
 
     def shard_batch(self, batch: dict, leading_accum: bool = False) -> dict:
         """Place a host batch onto the mesh with node-axis sharding.
@@ -52,7 +70,7 @@ class ParallelContext:
         for k, v in batch.items():
             if k == "graph":
                 out[k] = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self.replicated), v)
+                    lambda x: _put(x, self.replicated), v)
                 continue
             v = jnp.asarray(v)
             # spec: [accum?, V(node), H(spatial?), ...rest]
@@ -61,7 +79,7 @@ class ParallelContext:
                 spec.append("model")
             if leading_accum:
                 spec.insert(0, None)
-            out[k] = jax.device_put(v, NamedSharding(self.mesh, P(*spec)))
+            out[k] = _put(v, NamedSharding(self.mesh, P(*spec)))
         return out
 
 
@@ -80,7 +98,10 @@ def make_parallel_context(cfg: ExperimentConfig,
     mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size, model_ax)
     if pc.graph_axis_size > 1:
         plan = partition_graph(replica_graph, pc.graph_axis_size)
-        edge_fn = make_partitioned_edge_fusion(mesh, plan)
+        edge_fn = make_partitioned_edge_fusion(
+            mesh, plan,
+            exchange=getattr(pc, "boundary_exchange", "boundary"),
+            overlap=pc.overlap_boundary_exchange)
     else:
         # DP/TP-only mesh: the single-device edge block is correct per shard.
         plan, edge_fn = None, None

@@ -10,10 +10,17 @@ Layout chosen here (destination-owner partitioning):
   segment-softmax over a node's in-edges is entirely shard-local, and (b)
   the scatter-add of messages never crosses devices;
 - an edge whose SOURCE is off-shard is a *boundary* edge: its source value
-  vector arrives via the gathered buffer (the boundary exchange), while
-  local-source edges aggregate straight from the resident block — the two
-  partial aggregates are summed, letting XLA overlap the collective with
-  the local work.
+  vector arrives via the boundary exchange, while local-source edges
+  aggregate straight from the resident block — the two partial aggregates
+  are summed, letting XLA overlap the collective with the local work.
+
+Boundary exchange = per-delta ppermute halo rings: for each ACTIVE shard
+offset d (a (receiver - sender) mod P with at least one requested row
+anywhere on the ring), every shard ships the exact rows its (p+d)-peer's
+boundary edges reference. Traffic per shard is sum_d B_d rows — proportional
+to the real boundary set, NOT to V (the all_gather legacy) and NOT to
+(P-1) x max-pair (a uniform all_to_all): a radius-connectivity swarm whose
+scenes straddle two shards activates only deltas +-1.
 
 The plan is computed once on host (topology is static across steps).
 """
@@ -31,8 +38,9 @@ from mrp_gnn_tpu.graph import GraphBatch
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["src_global", "dst_local", "mask", "local_mask"],
-         meta_fields=["num_shards", "nodes_per_shard"])
+         data_fields=["src_global", "dst_local", "mask", "local_mask",
+                      "send_idx", "remote_slot"],
+         meta_fields=["num_shards", "nodes_per_shard", "deltas", "delta_rows"])
 @dataclasses.dataclass(frozen=True)
 class EdgePartitionPlan:
     """Per-shard padded edge lists, stacked on a leading shard axis.
@@ -41,18 +49,43 @@ class EdgePartitionPlan:
     dst_local:  int32 [P, E_s] destination slot local to the owning shard.
     mask:       bool  [P, E_s] slot validity.
     local_mask: bool  [P, E_s] valid AND source resident on this shard.
+
+    Boundary-exchange plan (the contract's "boundary robot features exchanged
+    all-to-all over ICI", BASELINE.json:5), as per-delta halo rings:
+
+    deltas:      static tuple of active shard offsets d (1..P-1): shard s
+                 sends to shard (s + d) % P.
+    delta_rows:  static tuple, B_d = padded max rows any shard ships along
+                 delta d. The receive buffer is the concat over deltas,
+                 sum(delta_rows) rows total.
+    send_idx:    int32 [P, sum(B_d)]. send_idx[s, off_d : off_d + B_d] =
+                 sender-LOCAL row indices shard s ships along delta d
+                 (0-padded) — i.e. the rows shard (s+d)%P requested from s.
+    remote_slot: int32 [P, E_s]. For a boundary edge, the index of its source
+                 row in the per-shard receive buffer (concat over deltas in
+                 ``deltas`` order); 0 for local / padded edges (masked out
+                 downstream).
     """
 
     src_global: jax.Array
     dst_local: jax.Array
     mask: jax.Array
     local_mask: jax.Array
+    send_idx: jax.Array
+    remote_slot: jax.Array
     num_shards: int
     nodes_per_shard: int
+    deltas: tuple
+    delta_rows: tuple
 
     @property
     def edges_per_shard(self) -> int:
         return self.mask.shape[1]
+
+    @property
+    def recv_rows(self) -> int:
+        """Rows received per shard per step over ICI (the boundary volume)."""
+        return int(sum(self.delta_rows))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,13 +129,64 @@ def partition_graph(graph: GraphBatch, num_shards: int,
         m[p, :k] = True
         lm[p, :k] = (s // nps) == p
 
+    # --- boundary-exchange plan ---------------------------------------------
+    # requests[p][r] = sorted unique GLOBAL rows shard p needs from shard r.
+    requests = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
+    for p in range(P):
+        s = src[owner == p]
+        s_owner = s // nps
+        for r in range(P):
+            if r == p:
+                continue
+            requests[p][r] = np.unique(s[s_owner == r])
+
+    # Active deltas: d such that SOME shard pair (r -> p=(r+d)%P) exchanges.
+    deltas, delta_rows = [], []
+    for d in range(1, P):
+        width = max(requests[p][(p - d) % P].size for p in range(P))
+        if width:
+            deltas.append(d)
+            delta_rows.append(_round_up(int(width), pad_multiple))
+    total_b = max(sum(delta_rows), 1)  # >=1 so shapes stay non-empty
+
+    send_idx = np.zeros((P, total_b), np.int32)
+    rslot = np.zeros((P, E_s), np.int32)
+    off = 0
+    for d, bd in zip(deltas, delta_rows):
+        for s_dev in range(P):
+            p = (s_dev + d) % P
+            need = requests[p][s_dev]
+            send_idx[s_dev, off:off + need.size] = (
+                need - s_dev * nps).astype(np.int32)
+        off += bd
+    # remote_slot: per boundary edge, position in the concat recv buffer.
+    delta_off = {d: sum(delta_rows[:i]) for i, d in enumerate(deltas)}
+    for p in range(P):
+        s = src[owner == p]
+        s_owner = s // nps
+        view = rslot[p, :s.size]
+        for r in range(P):
+            if r == p:
+                continue
+            need = requests[p][r]
+            if need.size == 0:
+                continue
+            em = s_owner == r
+            d = (p - r) % P
+            view[em] = (delta_off[d]
+                        + np.searchsorted(need, s[em])).astype(np.int32)
+
     return EdgePartitionPlan(
         src_global=jnp.asarray(src_g),
         dst_local=jnp.asarray(dst_l),
         mask=jnp.asarray(m),
         local_mask=jnp.asarray(lm),
+        send_idx=jnp.asarray(send_idx),
+        remote_slot=jnp.asarray(rslot),
         num_shards=P,
         nodes_per_shard=nps,
+        deltas=tuple(deltas),
+        delta_rows=tuple(delta_rows),
     )
 
 
@@ -112,3 +196,27 @@ def boundary_fraction(plan: EdgePartitionPlan) -> float:
     local = np.asarray(plan.local_mask)
     n = valid.sum()
     return float((valid & ~local).sum() / max(n, 1))
+
+
+def exchange_rows(plan: EdgePartitionPlan) -> dict:
+    """Per-shard ICI traffic (rows received over the wire) for the exchange
+    modes — the byte-count diagnostic for the contract's
+    boundary-proportional claim (BASELINE.json:5).
+
+    "boundary": per-delta ppermute receive = sum_d B_d rows per shard;
+    "useful" counts only genuinely-requested rows (excludes padding).
+    "all_gather": the legacy full-value gather = (P-1)*nodes_per_shard rows.
+    """
+    P, nps = plan.num_shards, plan.nodes_per_shard
+    src = np.asarray(plan.src_global)
+    m = np.asarray(plan.mask)
+    lm = np.asarray(plan.local_mask)
+    # real requested rows per shard = unique off-shard sources of its edges
+    # (global ids are already distinct across owner shards)
+    useful = sum(int(np.unique(src[p][m[p] & ~lm[p]]).size) for p in range(P))
+    return {
+        "boundary": plan.recv_rows,
+        "all_gather": (P - 1) * nps,
+        "useful_total": useful,
+        "padded_total": P * plan.recv_rows,
+    }

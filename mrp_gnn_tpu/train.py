@@ -33,9 +33,16 @@ from mrp_gnn_tpu.models import MultiRobotPerceptionNet
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
+    """Full reproducibility state: everything a resume needs is checkpointed
+    together — params, optimizer moments, step, the run PRNG key, and the
+    best-eval tracking (so periodic-eval best-step reporting survives
+    restarts)."""
     params: Any
     opt_state: Any
     step: jax.Array
+    rng: jax.Array
+    best_rmse: jax.Array
+    best_step: jax.Array
 
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
@@ -57,11 +64,14 @@ def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
     """Initialize model params + optimizer state. Returns (state, model)."""
     model = MultiRobotPerceptionNet(cfg.model, ops_impl=cfg.parallel.ops_impl,
                                     edge_fusion_fn=edge_fusion_fn)
-    params = model.init(rng, jnp.asarray(sample_batch["images"]),
+    init_rng, run_rng = jax.random.split(rng)
+    params = model.init(init_rng, jnp.asarray(sample_batch["images"]),
                         sample_batch["graph"])
     tx = make_optimizer(cfg)
     state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
+                       step=jnp.zeros((), jnp.int32), rng=run_rng,
+                       best_rmse=jnp.asarray(jnp.inf, jnp.float32),
+                       best_step=jnp.asarray(-1, jnp.int32))
     return state, model
 
 
@@ -116,8 +126,9 @@ def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
+        new_state = dataclasses.replace(
+            state, params=params, opt_state=opt_state, step=state.step + 1,
+            rng=jax.random.fold_in(state.rng, state.step))
         terms["grad_norm"] = optax.global_norm(grads)
         return new_state, terms
 
@@ -201,6 +212,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     else:
         from mrp_gnn_tpu.data.pipeline import make_train_iterator
         it = make_train_iterator(cfg.data)
+    raw_it = it  # pre-stacking handle: carries get_state() for grain
     if accum > 1:
         it = _stack_microbatches(it, accum)
     first = next(it)
@@ -233,10 +245,14 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         if restored is not None:
             state = restored
             if data_iter is None and int(state.step) > 0:
-                # continue the data stream where the checkpoint left off
+                # continue the data stream where the checkpoint left off:
+                # O(1) seek via saved iterator state (grain) or epoch/offset
+                # fast-forward (builtin) — never render-and-discard.
                 from mrp_gnn_tpu.data.pipeline import make_train_iterator
-                it = make_train_iterator(cfg.data,
-                                         start_batch=int(state.step) * accum)
+                it = make_train_iterator(
+                    cfg.data, start_batch=int(state.step) * accum,
+                    data_state=ckpt_mgr.latest_data_state())
+                raw_it = it
                 if accum > 1:
                     it = _stack_microbatches(it, accum)
                 batch0 = next(it)
@@ -250,7 +266,9 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             cfg.train.tensorboard_dir, just_logging=jax.process_index() > 0)
 
     records = []
-    best_rmse, best_step = float("inf"), -1
+    # best tracking lives in TrainState so it survives checkpoint/resume
+    best_rmse = float(jax.device_get(state.best_rmse))
+    best_step = int(jax.device_get(state.best_step))
     batch = first
     n_nodes = int(np.asarray(first["graph"].n_nodes)) * accum
     n_edges = int(np.asarray(first["graph"].n_edges)) * accum
@@ -300,9 +318,15 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                             if k != "step" and np.isscalar(v)})
             if "rmse" in ev and ev["rmse"] < best_rmse:
                 best_rmse, best_step = ev["rmse"], i + 1
+                state = dataclasses.replace(
+                    state,
+                    best_rmse=jnp.asarray(best_rmse, jnp.float32),
+                    best_step=jnp.asarray(best_step, jnp.int32))
         if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
                          or i == steps - 1):
-            ckpt_mgr.save(i + 1, state)
+            ds_state = (raw_it.get_state()
+                        if hasattr(raw_it, "get_state") else None)
+            ckpt_mgr.save(i + 1, state, data_state=ds_state)
         batch = next(it)
     if best_step >= 0:
         rec = {"step": steps, "best_eval_rmse": best_rmse,
@@ -317,9 +341,29 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     return state, records
 
 
+def add_multihost_args(p: argparse.ArgumentParser) -> None:
+    """Multi-host bring-up flags shared by the train/eval CLIs (SURVEY.md
+    section 3.5): one process per host, jax.distributed.initialize before
+    any backend touch (parallel/launch.py)."""
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--local_device_count", type=int, default=None,
+                   help="per-process virtual CPU device count (CPU sim only)")
+
+
+def init_multihost(args) -> None:
+    """Call launch.initialize from parsed CLI flags (no-op without
+    --coordinator). Must run before any jax backend initialization."""
+    from mrp_gnn_tpu.parallel.launch import initialize
+    initialize(coordinator=args.coordinator,
+               num_processes=args.num_processes,
+               process_id=args.process_id,
+               local_device_count=args.local_device_count)
+
+
 def main(argv=None):
-    from mrp_gnn_tpu.utils.platform import apply_platform_env
-    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
     p.add_argument("--steps", type=int, default=None)
@@ -342,7 +386,20 @@ def main(argv=None):
     p.add_argument("--augment", action="store_true")
     p.add_argument("--debug", action="store_true",
                    help="enable jax_debug_nans + host-side graph validation")
+    p.add_argument("--data_axis", type=int, default=None,
+                   help="override ParallelConfig.data_axis_size")
+    p.add_argument("--graph_axis", type=int, default=None,
+                   help="override ParallelConfig.graph_axis_size")
+    p.add_argument("--model_axis", type=int, default=None,
+                   help="override ParallelConfig.model_axis_size")
+    add_multihost_args(p)
     args = p.parse_args(argv)
+
+    # Bring-up order matters: distributed init (if any) before the platform
+    # env is applied and before the first jax backend call below.
+    init_multihost(args)
+    from mrp_gnn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
 
     cfg = get_config(args.config)
     tr = cfg.train
@@ -376,6 +433,14 @@ def main(argv=None):
     if args.dtype is not None:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     dtype=args.dtype))
+    pc = cfg.parallel
+    if args.data_axis is not None:
+        pc = dataclasses.replace(pc, data_axis_size=args.data_axis)
+    if args.graph_axis is not None:
+        pc = dataclasses.replace(pc, graph_axis_size=args.graph_axis)
+    if args.model_axis is not None:
+        pc = dataclasses.replace(pc, model_axis_size=args.model_axis)
+    cfg = cfg.replace(parallel=pc)
 
     if args.debug:
         from mrp_gnn_tpu.utils.debug import enable_debug, validate_graph

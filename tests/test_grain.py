@@ -38,6 +38,23 @@ def test_grain_epoch_has_all_batches_and_repeats():
     assert batch["images"].shape == (4, 16, 16, 3)
 
 
+def test_grain_state_seek_matches_sequential():
+    """O(1) checkpoint seek: set_state reproduces the exact stream position
+    without rendering the skipped batches (VERDICT round 1, item 8)."""
+    cfg = _data()
+    a = make_grain_iterator(cfg, "train")
+    for _ in range(3):
+        next(a)
+    state = a.get_state()
+    expected = next(a)
+
+    b = make_grain_iterator(cfg, "train")
+    b.set_state(state)
+    got = next(b)
+    np.testing.assert_allclose(got["images"], expected["images"])
+    np.testing.assert_allclose(got["depth"], expected["depth"])
+
+
 def test_training_through_grain_loader():
     cfg = get_config("two_robot_mean")
     cfg = cfg.replace(

@@ -17,19 +17,17 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_partitioned_fusion():
-    worker = os.path.join(os.path.dirname(__file__), "mp_fusion_worker.py")
-    port = _free_port()
+def _run_two_procs(cmd_for_pid, ok_marker, timeout=280, env_extra=None):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS",)}  # workers set their own device count
+    env.update(env_extra or {})
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for pid in range(2)]
+        cmd_for_pid(pid), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env) for pid in range(2)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=280)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -37,4 +35,37 @@ def test_two_process_partitioned_fusion():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert "WORKER_OK" in out, f"worker {pid} no OK:\n{out[-3000:]}"
+        assert ok_marker in out, f"worker {pid} no OK:\n{out[-3000:]}"
+    return outs
+
+
+def test_two_process_partitioned_fusion():
+    worker = os.path.join(os.path.dirname(__file__), "mp_fusion_worker.py")
+    port = _free_port()
+    _run_two_procs(
+        lambda pid: [sys.executable, worker, str(pid), "2", str(port)],
+        "WORKER_OK")
+
+
+def test_two_process_training_via_cli():
+    """End-to-end multi-host TRAINING through the real CLI flags
+    (--coordinator/--num_processes/--process_id, VERDICT round 1 item 5):
+    2 localhost processes x 4 CPU devices, graph axis 8, two_robot_mean."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def cmd(pid):
+        return [sys.executable, "-m", "mrp_gnn_tpu.train",
+                "--config", "two_robot_mean", "--steps", "3",
+                "--train_scenes", "8", "--log_every", "1",
+                "--graph_axis", "8",
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid),
+                "--local_device_count", "4"]
+
+    outs = _run_two_procs(
+        cmd, "final loss",
+        env_extra={"JAX_PLATFORMS": "cpu",
+                   "PYTHONPATH": repo + os.pathsep
+                   + os.environ.get("PYTHONPATH", "")})
+    assert '"step": 3' in outs[0]

@@ -7,12 +7,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mrp_gnn_tpu.graph import batch_fully_connected
+from mrp_gnn_tpu.graph import batch_fully_connected, batch_homogeneous, radius_edges
 from mrp_gnn_tpu.models.fusion import default_edge_fusion
 from mrp_gnn_tpu.ops import dispatch
 from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
 from mrp_gnn_tpu.parallel.mesh import make_mesh
-from mrp_gnn_tpu.parallel.partition import boundary_fraction, partition_graph
+from mrp_gnn_tpu.parallel.partition import (boundary_fraction, exchange_rows,
+                                            partition_graph)
 
 OPS = dispatch.get_ops("xla")
 
@@ -49,7 +50,7 @@ def test_partition_requires_divisible_nodes():
         partition_graph(gb, 4)
 
 
-def _run_both(aggregation, data_ax, graph_ax, seed=0):
+def _run_both(aggregation, data_ax, graph_ax, seed=0, **fused_kw):
     """Partitioned vs unpartitioned edge fusion on the same inputs."""
     n_scenes_per_replica, robots = 2, 8
     gb_rep = batch_fully_connected(n_scenes_per_replica, robots)
@@ -71,7 +72,7 @@ def _run_both(aggregation, data_ax, graph_ax, seed=0):
 
     mesh = make_mesh(data_ax, graph_ax)
     plan = partition_graph(gb_rep, graph_ax)
-    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan, **fused_kw)
     got = jax.jit(lambda q, k, v: edge_fn(OPS, aggregation, q, k, v, gb_rep))(q, k, v)
     return np.asarray(expected), np.asarray(got)
 
@@ -85,6 +86,36 @@ def test_partitioned_matches_unpartitioned_graph_only(aggregation):
 def test_partitioned_matches_unpartitioned_data_x_graph():
     expected, got = _run_both("attention", data_ax=2, graph_ax=4)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("exchange,overlap", [("boundary", False),
+                                              ("all_gather", True)])
+def test_exchange_mode_ab_matches(exchange, overlap):
+    """Both A/B controls (legacy all_gather; serialized exchange) stay exact."""
+    expected, got = _run_both("attention", data_ax=1, graph_ax=8,
+                              exchange=exchange, overlap=overlap)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_boundary_traffic_scales_with_boundary_fraction():
+    """The contract's byte-count claim (BASELINE.json:5): for a radius-
+    connectivity swarm the boundary exchange moves far less than the legacy
+    full all_gather, and covers every genuinely-requested row."""
+    # 4 scenes x 32 robots, comm radius 4 -> sparse neighbour graphs; each
+    # scene straddles two 16-node shards so real boundary edges exist.
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    plan = partition_graph(gb, 8)
+    rows = exchange_rows(plan)
+    assert boundary_fraction(plan) < 0.35
+    # per-shard received rows: boundary-only must undercut the full gather
+    # by a large factor on sparse topologies.
+    assert rows["boundary"] * 3 < rows["all_gather"], rows
+    # and the padded plan covers at least all genuinely-needed rows.
+    assert rows["padded_total"] >= rows["useful_total"] > 0
+    # dense fully-connected small teams, by contrast, are mostly boundary:
+    gb_fc = batch_fully_connected(2, 8)
+    plan_fc = partition_graph(gb_fc, 8)
+    assert boundary_fraction(plan_fc) > 0.8
 
 
 def test_partitioned_gradients_match():

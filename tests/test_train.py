@@ -50,11 +50,29 @@ def test_checkpoint_save_and_resume(tmp_path):
     state, _ = train(cfg)
     assert int(state.step) == 10
 
-    # Resume: same config, more steps — should start from step 10.
+    # Resume: same config, more steps — should start from step 10, with the
+    # full reproducibility state (PRNG key, best tracking) carried through.
     cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, steps=14))
     state2, records2 = train(cfg2)
     assert int(state2.step) == 14
     assert records2[-1]["step"] == 14
+    np.testing.assert_array_equal(np.asarray(state2.rng).shape,
+                                  np.asarray(state.rng).shape)
+    assert not np.array_equal(np.asarray(state2.rng), np.asarray(state.rng))
+
+
+def test_resume_preserves_best_eval_state(tmp_path):
+    cfg = _tiny("single_robot_depth", steps=6)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=3,
+        eval_every=3))
+    state, _ = train(cfg)
+    best0 = float(state.best_rmse)
+    assert np.isfinite(best0) and int(state.best_step) > 0
+    # resume for more steps: restored best must seed the tracking
+    cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, steps=9))
+    state2, _ = train(cfg2)
+    assert float(state2.best_rmse) <= best0
 
 
 def test_eval_metrics_finite():
