@@ -26,8 +26,13 @@ def log(*a):
 
 
 def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
-                     force_sparse: bool = False, bf16: bool = False) -> float:
-    """Returns steady-state edges/s for one fused edge block."""
+                     kind: str = "block", bf16: bool = False) -> float:
+    """Returns steady-state edges/s for one fused edge block.
+
+    kind: "block" = dense block-diagonal fast path; "ell" = sparse
+    neighbour-list (block metadata stripped); "scatter" = naive edge-list
+    gather/scatter baseline (ELL stripped too).
+    """
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -37,9 +42,13 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
 
     scenes, robots = V // 8, 8  # 8-robot swarm scenes
     gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
-    if force_sparse:  # strip fast-path metadata -> edge-list scatter baseline
-        gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0,
-                                 ell_src=None, ell_mask=None)
+    if kind in ("ell", "scatter"):  # strip the dense block fast path
+        gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)
+    if kind == "scatter":           # strip ELL too -> edge-list baseline
+        gb = dataclasses.replace(gb, ell_src=None, ell_mask=None,
+                                 bsp_pair_dst=None, bsp_pair_src=None,
+                                 bsp_pair_first=None, bsp_pair_last=None,
+                                 bsp_tile=0)
     ops = dispatch.get_ops(ops_impl)
 
     rng = np.random.default_rng(0)
@@ -117,13 +126,18 @@ def main():
     E = V * 7  # 8-robot fully-connected scenes: 56 edges per 8 nodes
 
     results = {}
-    variants = [("xla_sparse", "xla", True, False),
-                ("xla_block_bf16", "xla", False, True),
-                ("pallas_block_bf16", "pallas", False, True)]
-    for name, impl, force_sparse, bf16 in variants:
+    # leagues: *_block = dense block-diagonal; *_ell = sparse neighbour-list
+    # (the pallas ELL path routes through the tile-block-sparse fused
+    # kernels, ops/pallas_bsp.py); xla_sparse = naive edge-list baseline.
+    variants = [("xla_sparse", "xla", "scatter", False),
+                ("xla_ell", "xla", "ell", False),
+                ("pallas_ell_bf16", "pallas", "ell", True),
+                ("xla_block_bf16", "xla", "block", True),
+                ("pallas_block_bf16", "pallas", "block", True)]
+    for name, impl, kind, bf16 in variants:
         try:
             eps = bench_edge_block(impl, V, E, D, dk, args.iters, args.warmup,
-                                   force_sparse=force_sparse, bf16=bf16)
+                                   kind=kind, bf16=bf16)
             results[name] = eps
             log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
         except Exception as e:

@@ -139,22 +139,49 @@ def bench_train(config_name="five_robot_attention", inner=20) -> list:
     return [rec]
 
 
+def _scaling_graph(topology, scenes, robots, comm_radius=4):
+    from mrp_gnn_tpu.graph import batch_homogeneous, scene_edges_for
+    return batch_homogeneous(
+        scenes, robots, scene_edges_for(robots, topology, comm_radius))
+
+
+def _weak_scaling_batch(topology, P, robots, scenes_per_shard):
+    """Graph for the P-shard point of the weak-scaling sweep.
+
+    full:   scenes_per_shard*P dense scenes of `robots` (boundary-heavy:
+            scenes straddle shards whenever robots > nodes-per-shard).
+    radius: ONE growing swarm of 128*P robots, comm radius 4 — per-shard
+            nodes/edges constant, the swarm spans every shard, and the
+            boundary set per shard is a constant halo (the honest setting
+            for the boundary-proportional exchange; scene-aligned layouts
+            would carry zero boundary edges).
+    """
+    if topology == "radius":
+        return _scaling_graph("radius", 1, 128 * P)
+    return _scaling_graph("full", scenes_per_shard * P, robots)
+
+
 def bench_scaling(max_devices=None, robots=8, scenes_per_shard=16,
-                  feature_dim=2048, inner=30) -> list:
+                  feature_dim=2048, inner=30, topology="full",
+                  exchange="boundary") -> list:
     """Weak-scaling efficiency of the partitioned fusion over the graph axis.
 
     Per-shard work is held constant; efficiency(P) =
-    edges/s(P) / (P * edges/s(1)). On CPU this exercises the code path;
-    real numbers need a pod slice (BASELINE.md measurement protocol).
+    edges/s(P) / (P * edges/s(1)). topology: "full" (dense swarms — most
+    edges boundary) or "radius" (sparse — boundary-proportional exchange
+    shines). exchange: "boundary" | "all_gather" (the A/B of
+    BASELINE.json:5). On CPU this exercises the code path; real numbers
+    need a pod slice (BASELINE.md measurement protocol).
     """
     import jax
     import jax.numpy as jnp
-    from mrp_gnn_tpu.graph import batch_fully_connected
     from mrp_gnn_tpu.models.fusion import default_edge_fusion
     from mrp_gnn_tpu.ops import dispatch
     from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
     from mrp_gnn_tpu.parallel.mesh import make_mesh
-    from mrp_gnn_tpu.parallel.partition import partition_graph
+    from mrp_gnn_tpu.parallel.partition import (boundary_fraction,
+                                                exchange_rows,
+                                                partition_graph)
 
     ndev = max_devices or jax.device_count()
     ops = dispatch.get_ops("xla")
@@ -162,8 +189,7 @@ def bench_scaling(max_devices=None, robots=8, scenes_per_shard=16,
     base = None
     P = 1
     while P <= ndev:
-        scenes = scenes_per_shard * P
-        gb = batch_fully_connected(scenes, robots)
+        gb = _weak_scaling_batch(topology, P, robots, scenes_per_shard)
         V = gb.max_nodes
         E = int(np.asarray(gb.n_edges))
         rng = np.random.default_rng(0)
@@ -171,13 +197,19 @@ def bench_scaling(max_devices=None, robots=8, scenes_per_shard=16,
         k = jnp.asarray(rng.normal(size=(V, 64)).astype(np.float32))
         v = jnp.asarray(rng.normal(size=(V, feature_dim)).astype(np.float32))
 
+        extras = {}
         if P == 1:
             def body(v, gb=gb):
                 return default_edge_fusion(ops, "attention", q, k, v, gb) * 0.5 + v * 0.5
         else:
             mesh = make_mesh(1, P)
             plan = partition_graph(gb, P)
-            edge_fn = make_partitioned_edge_fusion(mesh, plan)
+            edge_fn = make_partitioned_edge_fusion(mesh, plan,
+                                                   exchange=exchange)
+            extras = {"boundary_fraction": round(boundary_fraction(plan), 4),
+                      "recv_rows_per_shard": exchange_rows(plan)[
+                          "boundary" if exchange == "boundary"
+                          else "all_gather"]}
 
             def body(v, gb=gb, edge_fn=edge_fn):
                 return edge_fn(ops, "attention", q, k, v, gb) * 0.5 + v * 0.5
@@ -188,11 +220,120 @@ def bench_scaling(max_devices=None, robots=8, scenes_per_shard=16,
             base = eps
         eff = eps / (base * P)
         rec = {"bench": "scaling", "devices": P, "edges": E,
+               "topology": topology, "exchange": exchange,
                "edges_per_s": eps, "efficiency": eff,
-               "backend": jax.default_backend()}
+               "backend": jax.default_backend(), **extras}
         out.append(rec)
-        _log(f"P={P}: {eps:,.0f} edges/s, weak-scaling eff {eff:.2%}")
+        _log(f"P={P} [{topology}/{exchange}]: {eps:,.0f} edges/s, "
+             f"weak-scaling eff {eff:.2%} {extras}")
         P *= 2
+    return out
+
+
+def hlo_overlap_window(txt: str) -> dict:
+    """Overlap window of the boundary exchange in a scheduled HLO module.
+
+    Finds the LARGEST collective(s) in the ENTRY schedule (the value
+    exchange; the key exchange is ~D/dk smaller), then counts how many
+    scheduled instructions sit between their issue point and the first
+    instruction consuming their results — the work available to hide the
+    ICI transfer behind. Works on both sync `collective-permute` (CPU, and
+    TPU's scheduled text form) and async -start/-done pairs.
+    """
+    import re
+    entry = txt[txt.index("ENTRY "):] if "ENTRY " in txt else txt
+    lines = [l for l in entry.splitlines() if re.match(r"\s+(ROOT )?%", l)]
+    colls = []  # (sched_idx, name, elem_count, is_start)
+    for i, l in enumerate(lines):
+        if "collective-permute" not in l and "all-to-all" not in l:
+            continue
+        if "-done" in l:
+            continue  # paired with its start below
+        m = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = \(?(\w+)\[([\d,]*)\]", l)
+        if not m:
+            continue
+        size = np.prod([int(x) for x in m.group(3).split(",") if x] or [1])
+        colls.append((i, m.group(1), int(size), "-start" in l))
+    if not colls:
+        return {"n_collectives": 0, "overlap_window_ops": 0,
+                "schedule_len": len(lines)}
+    biggest = max(c[2] for c in colls)
+    value_colls = [c for c in colls if c[2] == biggest]
+    issue = max(c[0] for c in value_colls)
+    names = {c[1] for c in value_colls}
+    is_async = any(c[3] for c in value_colls)
+    # stall point: the -done op (async) or the first consumer (sync)
+    consumer = len(lines) - 1
+    for i, l in enumerate(lines):
+        if i <= issue:
+            continue
+        rhs = l.split("=", 1)[1] if "=" in l else l
+        if any(f"%{n}" in rhs for n in names):
+            consumer = i
+            break
+    return {"n_collectives": len(colls),
+            "async_pairs": is_async,
+            "value_collective_issue_idx": issue,
+            "value_stall_idx": consumer,
+            "overlap_window_ops": consumer - issue - 1,
+            "schedule_len": len(lines)}
+
+
+def bench_overlap(devices=None, feature_dim=4096,
+                  inner=30, topology="radius") -> list:
+    """Overlap evidence for the boundary exchange (BASELINE.json:5).
+
+    Two artifacts per run:
+    1. HLO schedule check: in the compiled partitioned step, the value
+       collective's -start op must be issued BEFORE the local-partial
+       aggregation ops and its -done consumed after (async overlap window).
+    2. A/B timing: overlap=True vs overlap=False (serialized via
+       optimization_barrier) on the same mesh/graph.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+    from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+    from mrp_gnn_tpu.parallel.mesh import make_mesh
+    from mrp_gnn_tpu.parallel.partition import partition_graph
+
+    ndev = devices or jax.device_count()
+    ops = dispatch.get_ops("xla")
+    gb = _weak_scaling_batch(topology, ndev, 8, 2)
+    V = gb.max_nodes
+    E = int(np.asarray(gb.n_edges))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(V, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, feature_dim)).astype(np.float32))
+    mesh = make_mesh(1, ndev)
+    plan = partition_graph(gb, ndev)
+
+    out = []
+    timings = {}
+    for overlap in (True, False):
+        edge_fn = make_partitioned_edge_fusion(mesh, plan, overlap=overlap)
+
+        def one(v, edge_fn=edge_fn):
+            return edge_fn(ops, "attention", q, k, v, gb) * 0.5 + v * 0.5
+
+        # --- HLO schedule evidence -----------------------------------------
+        hlo_info = hlo_overlap_window(jax.jit(one).lower(v).compile().as_text())
+        sec = time_chained(one, v, inner)
+        timings[overlap] = sec
+        rec = {"bench": "overlap", "overlap": overlap, "devices": ndev,
+               "topology": topology, "edges": E, "feature_dim": feature_dim,
+               "sec_per_call": sec, "edges_per_s": E / sec,
+               "backend": jax.default_backend(), **hlo_info}
+        out.append(rec)
+        _log(f"overlap={overlap}: {sec * 1e6:.0f} us/call, "
+             f"window ops: {hlo_info.get('overlap_window_ops')}")
+    if True in timings and False in timings:
+        gain = timings[False] / timings[True] - 1.0
+        _log(f"overlap speedup vs serialized: {gain:+.2%}")
+        out.append({"bench": "overlap_summary", "devices": ndev,
+                    "speedup_vs_serialized": gain})
     return out
 
 
@@ -201,7 +342,10 @@ def main(argv=None):
     apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="fusion",
-                   choices=["fusion", "train", "scaling", "all"])
+                   choices=["fusion", "train", "scaling", "overlap", "all"])
+    p.add_argument("--topology", default="full", choices=["full", "radius"])
+    p.add_argument("--exchange", default="boundary",
+                   choices=["boundary", "all_gather"])
     p.add_argument("--nodes", type=int, default=8192)
     p.add_argument("--feature_dim", type=int, default=2048)
     p.add_argument("--config", default="five_robot_attention")
@@ -225,7 +369,10 @@ def main(argv=None):
         if args.what in ("train", "all"):
             recs += bench_train(args.config)
         if args.what in ("scaling", "all"):
-            recs += bench_scaling(inner=args.inner)
+            recs += bench_scaling(inner=args.inner, topology=args.topology,
+                                  exchange=args.exchange)
+        if args.what in ("overlap", "all"):
+            recs += bench_overlap(inner=args.inner, topology=args.topology)
     for r in recs:
         line = json.dumps(r)
         print(line)

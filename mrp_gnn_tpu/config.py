@@ -205,9 +205,12 @@ def _preset_swarm_partitioned() -> ExperimentConfig:
         model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
                           fusion="attention", num_fusion_layers=1,
                           num_seg_classes=6),
-        # 32-robot swarms with communication-radius connectivity; each swarm
-        # spans multiple graph shards, so boundary exchange is real.
-        data=DataConfig(num_robots=32, scenes_per_batch=8, image_size=(64, 64),
+        # 64-robot swarms with communication-radius connectivity: 4 scenes x
+        # 64 robots = 256 nodes over 8 graph shards (32 nodes each), so every
+        # swarm STRADDLES two shards and the boundary exchange is real (an
+        # 8-scene x 32-robot layout would align scenes to shards and carry
+        # zero boundary edges).
+        data=DataConfig(num_robots=64, scenes_per_batch=4, image_size=(64, 64),
                         num_seg_classes=6, connectivity="radius",
                         comm_radius=4),
         train=TrainConfig(steps=1000, seg_loss_weight=0.5),

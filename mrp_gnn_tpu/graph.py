@@ -31,8 +31,9 @@ import numpy as np
 @partial(jax.tree_util.register_dataclass,
          data_fields=["edge_src", "edge_dst", "node_mask", "edge_mask",
                       "node_scene", "n_nodes", "n_edges", "scene_adj",
-                      "ell_src", "ell_mask"],
-         meta_fields=["scene_stride"])
+                      "ell_src", "ell_mask", "bsp_pair_dst", "bsp_pair_src",
+                      "bsp_pair_first", "bsp_pair_last"],
+         meta_fields=["scene_stride", "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
     """A batch of scene graphs flattened into one padded graph.
@@ -73,6 +74,19 @@ class GraphBatch:
     # removes scatters entirely; built by build_graph_batch.
     ell_src: jax.Array | None = None
     ell_mask: jax.Array | None = None
+    # Block-sparse pair plan over (dst tile, src tile) node tiles of width
+    # bsp_tile (0 = no plan): for every destination tile, the source tiles
+    # its in-edges touch, flattened dst-major. Drives the tile-block-sparse
+    # Pallas fused-attention kernels (ops/pallas_bsp.py): value rows stream
+    # as SEQUENTIAL whole-tile DMAs and edge selection happens on-chip via
+    # one-hot MXU matmuls — no per-row descriptors, traffic proportional to
+    # touched tiles instead of E. pair_first/last mark tile-group bounds
+    # (int32 0/1) for accumulator reset / output writeback.
+    bsp_pair_dst: jax.Array | None = None
+    bsp_pair_src: jax.Array | None = None
+    bsp_pair_first: jax.Array | None = None
+    bsp_pair_last: jax.Array | None = None
+    bsp_tile: int = 0
 
     @property
     def max_degree(self) -> int:
@@ -210,6 +224,18 @@ def build_graph_batch(
         ell_mask[d, slot[d]] = True
         slot[d] += 1
 
+    # Tile-pair plan for the block-sparse fused kernels. 128 (the MXU/VPU
+    # lane width) beat 256 in the chip sweep: the one-hot A build is
+    # O(tile^2 * deg) per pair, so smaller square tiles waste less VPU work
+    # for the same streamed bytes (BASELINE.md).
+    bsp_tile = 0
+    pairs = (None,) * 4
+    for t in (128, 256, 64, 32, 16, 8):
+        if max_nodes % t == 0:
+            bsp_tile = t
+            pairs = build_bsp_pairs(ell_src, ell_mask, t)
+            break
+
     return GraphBatch(
         edge_src=jnp.asarray(edge_src),
         edge_dst=jnp.asarray(edge_dst),
@@ -220,7 +246,38 @@ def build_graph_batch(
         n_edges=jnp.asarray(n_edges, jnp.int32),
         ell_src=jnp.asarray(ell_src),
         ell_mask=jnp.asarray(ell_mask),
+        bsp_pair_dst=pairs[0],
+        bsp_pair_src=pairs[1],
+        bsp_pair_first=pairs[2],
+        bsp_pair_last=pairs[3],
+        bsp_tile=bsp_tile,
     )
+
+
+def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int):
+    """Host-side (dst tile, src tile) pair plan for the block-sparse kernels.
+
+    Returns (pair_dst, pair_src, pair_first, pair_last) int32 arrays, pairs
+    grouped by destination tile in ascending order. Every dst tile gets at
+    least one pair (its diagonal) so the first/last accumulator protocol
+    always fires.
+    """
+    V = ell_src.shape[0]
+    nt = V // tile
+    pd, ps, fi, la = [], [], [], []
+    for t in range(nt):
+        rows = slice(t * tile, (t + 1) * tile)
+        srcs = np.asarray(ell_src[rows])[np.asarray(ell_mask[rows])]
+        tiles = sorted(set((srcs // tile).tolist())) if srcs.size else [t]
+        for i, s in enumerate(tiles):
+            pd.append(t)
+            ps.append(int(s))
+            fi.append(1 if i == 0 else 0)
+            la.append(1 if i == len(tiles) - 1 else 0)
+    return (jnp.asarray(np.array(pd, np.int32)),
+            jnp.asarray(np.array(ps, np.int32)),
+            jnp.asarray(np.array(fi, np.int32)),
+            jnp.asarray(np.array(la, np.int32)))
 
 
 def batch_homogeneous(

@@ -59,26 +59,32 @@ def _xla_ops() -> EdgeOps:
 
 def _pallas_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import reference as R
+    from mrp_gnn_tpu.ops import pallas_bsp as B
     from mrp_gnn_tpu.ops import pallas_edge as P
     from mrp_gnn_tpu.ops import pallas_ell as PE
 
+    legacy_ell_attention = _compose_ell_attention(PE.ell_sddmm,
+                                                  PE.ell_softmax, PE.ell_spmm)
+
+    def ell_attention(q, k, values, graph):
+        # Tile-block-sparse fused kernels when the batch carries a pair
+        # plan (sequential whole-tile DMAs + one-hot MXU selection); the
+        # per-row-DMA ELL kernels remain as the general fallback.
+        if B.supports(graph):
+            return B.bsp_attention(q, k, values, graph)
+        return legacy_ell_attention(q, k, values, graph)
+
     def ell_mean(values, graph):
-        ones = graph.ell_mask.astype(values.dtype)
-        deg = jnp_maximum_deg(graph)
-        return PE.ell_spmm(ones / deg, values, graph.ell_src, graph.ell_mask)
-
-    def jnp_maximum_deg(graph):
+        if B.supports(graph):
+            return B.bsp_mean(values, graph)
         import jax.numpy as jnp
-        deg = graph.ell_mask.sum(axis=1, keepdims=True)
-        return jnp.maximum(deg, 1.0)
+        maskf = graph.ell_mask.astype(values.dtype)
+        deg = jnp.maximum(maskf.sum(axis=1, keepdims=True), 1.0)
+        return PE.ell_spmm(maskf / deg, values, graph.ell_src, graph.ell_mask)
 
-    # R.ell_softmax keeps the softmax differentiable; the Pallas kernels
-    # carry the gather traffic (sddmm/spmm), which is where the bytes are.
     return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
                    P.block_fused_attention, R.block_mean_agg,
-                   _compose_ell_attention(PE.ell_sddmm, R.ell_softmax,
-                                          PE.ell_spmm),
-                   ell_mean)
+                   ell_attention, ell_mean)
 
 
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}

@@ -1,0 +1,314 @@
+"""Tile-block-sparse Pallas TPU kernels for fused graph attention.
+
+The contract's standalone kernel tier (BASELINE.json:5, SURVEY.md section
+2.2) redesigned around how the TPU actually moves bytes. The round-1 ELL
+kernels gathered one source row per DMA descriptor (pallas_ell.py) — correct
+but latency-bound at ~128 tiny descriptors per step. These kernels instead
+exploit tile-level sparsity (the robot-graph structure: scene locality,
+communication radius):
+
+- the node axis is cut into tiles of GraphBatch.bsp_tile (128 = MXU/VPU
+  width); a host-side pair plan (graph.build_bsp_pairs) lists, per
+  destination tile, the few source tiles its in-edges touch;
+- VALUE ROWS STREAM AS WHOLE-TILE SEQUENTIAL DMAs (the fastest thing HBM
+  can do) — one [Ts, D_tile] copy per (dst, src) tile pair, no per-row
+  descriptors;
+- per-edge selection happens on-chip: the [Tv, Ts] edge-weight matrix A of
+  a tile pair is built from the ELL columns by one-hot compares (VPU) and
+  applied as a single MXU matmul acc += A @ V_tile;
+- total HBM traffic is num_pairs * Ts * D bytes — proportional to TOUCHED
+  TILES, beating the per-edge gather roofline (E * D) by ~deg / pairs-per-
+  tile (7x for fully-connected 8-robot scenes, ~4x for radius-4 swarms).
+
+Two kernels (alpha is [V, deg] — negligible traffic between them):
+  bsp_attention_weights: SDDMM + masked segment-softmax fused; logits live
+    in VMEM scratch across the pair group and never visit HBM.
+  bsp_spmm: attention-weighted aggregation with the A @ V_tile scheme.
+
+Backward passes run the equivalent XLA math via custom_vjp (gathers + one
+scatter-add); forward is where the bytes are.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# --- kernel 1: fused SDDMM + segment softmax --------------------------------
+
+
+def _weights_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                    q_ref, k_ref, src_ref, mask_ref, out_ref, logit_acc):
+    """One (dst tile, src tile) pair step.
+
+    q_ref [Tv, dk] (dst tile), k_ref [Ts, dk] (src tile), src_ref/mask_ref
+    [Tv, deg] ELL columns of the dst tile, out_ref [Tv, deg] alpha,
+    logit_acc [Tv, deg] f32 scratch persisting across the pair group.
+    """
+    p = pl.program_id(0)
+    Ts = k_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+
+    # Q @ K_tile^T: every (dst row, src-in-tile) score in one MXU matmul.
+    # f32 inputs need HIGHEST precision: the MXU's default f32 mode rounds
+    # through bf16 passes (~1e-2 relative error on logits).
+    qk = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [Tv, Ts]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+
+    acc = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
+                    logit_acc[:])
+    for j in range(deg):  # static unroll over ELL columns
+        # column j of src via one-hot reduce (width-1 lane slices are not
+        # tile-aligned on TPU; reductions are)
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        sel = (col == srcj).astype(jnp.float32)        # [Tv, Ts]
+        lj = jnp.sum(qk * sel, axis=1, keepdims=True)  # [Tv, 1]
+        acc = acc + lj * (dcol == j).astype(jnp.float32)
+    logit_acc[:] = acc
+
+    @pl.when(last_ref[p] == 1)
+    def _softmax():
+        m = mask_ref[:] > 0
+        x = jnp.where(m, acc, _NEG)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        e = jnp.exp(x - jnp.maximum(mx, _NEG / 2))
+        e = jnp.where(m, e, 0.0)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        out_ref[:] = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+
+
+def _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+    V, dk = q.shape
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_pairs,),
+        in_specs=[
+            pl.BlockSpec((T, dk), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # q (dst tile)
+            pl.BlockSpec((T, dk), lambda p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # k (src tile)
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_mask tile
+        ],
+        out_specs=pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, deg), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _weights_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, deg), jnp.float32),
+        interpret=interpret,
+    )(pd, ps, fi, la, q, k, ell_src, ell_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _bsp_weights(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+    return _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T,
+                            interpret)
+
+
+def _bsp_weights_fwd(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+    alpha = _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T,
+                             interpret)
+    return alpha, (q, k, ell_src, ell_mask, alpha)
+
+
+def _bsp_weights_bwd(T, interpret, res, g):
+    q, k, src, mask_i, alpha = res
+    mask = mask_i > 0
+    # softmax backward: dlogits = alpha * (g - sum_j alpha_j g_j)
+    dlog = alpha * (g - jnp.sum(alpha * g, axis=-1, keepdims=True))
+    dlog = jnp.where(mask, dlog, 0.0)
+    kg = k[src]                                        # [V, deg, dk]
+    dq = jnp.einsum("vj,vjd->vd", dlog, kg)
+    dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
+    return (dq.astype(q.dtype), dk_.astype(k.dtype),
+            None, None, None, None, None, None)
+
+
+_bsp_weights.defvjp(_bsp_weights_fwd, _bsp_weights_bwd)
+
+
+# --- kernel 2: block-sparse SpMM ---------------------------------------------
+
+
+def _spmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                 alpha_ref, src_ref, v_ref, out_ref, acc_ref):
+    """Grid (feature tiles, pairs) — pairs fastest. v_ref [Ts, Tf] streams
+    as one whole-tile DMA; A = one-hot(src) * alpha applied on the MXU."""
+    p = pl.program_id(1)
+    Ts = v_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+    alpha = alpha_ref[:]
+
+    A = jnp.zeros((Tv, Ts), jnp.float32)
+    for j in range(deg):  # static unroll
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        aj = jnp.sum(jnp.where(dcol == j, alpha, 0.0), axis=1, keepdims=True)
+        A = A + aj * (col == srcj).astype(jnp.float32)
+    # bf16 values ride the MXU natively — pin DEFAULT precision explicitly:
+    # fp32 contract precision on bf16 operands is rejected by Mosaic, and a
+    # global jax_default_matmul_precision=highest would otherwise leak in.
+    # f32 values need HIGHEST (default f32 matmul rounds through bf16). A is
+    # one-hot scaled alpha: each output element sums at most deg products.
+    prec = (jax.lax.Precision.DEFAULT
+            if jnp.dtype(v_ref.dtype).name == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+    contrib = jnp.dot(A.astype(v_ref.dtype), v_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=prec)  # [Tv, Tf]
+    acc = jnp.where(first_ref[p] == 1, contrib, acc_ref[:] + contrib)
+    acc_ref[:] = acc
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _pick_feat_tile(D: int, interpret: bool):
+    # Widest tile wins (chip sweep, BASELINE.md): the one-hot A build runs
+    # once per (pair, feature tile), so fewer feature tiles amortize it.
+    for t in (2048, 1024, 512, 256, 128):
+        if D % t == 0:
+            return t
+    return D if interpret else None
+
+
+def _pad_lanes(x, mult=128):
+    d = x.shape[-1]
+    pad = (-d) % mult
+    if pad == 0:
+        return x, d
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]), d
+
+
+def _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
+    values, D_orig = _pad_lanes(values)
+    V, D = values.shape
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    Tf = _pick_feat_tile(D, interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(D // Tf, num_pairs),
+        in_specs=[
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # alpha (dst tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (ps[p], f),
+                         memory_space=pltpu.VMEM),     # values (src tile)
+        ],
+        out_specs=pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la:
+                               (pd[p], f), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, Tf), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, D), values.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * T * D,
+            bytes_accessed=(num_pairs * T * D + V * D) * values.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pd, ps, fi, la, alpha, ell_src, values)
+    return out[:, :D_orig] if D_orig != D else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _bsp_spmm(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
+    return _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret)
+
+
+def _bsp_spmm_fwd(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
+    out = _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret)
+    return out, (alpha, values, ell_src)
+
+
+def _bsp_spmm_bwd(T, interpret, res, g):
+    alpha, values, src = res
+    # alpha is already exactly 0 on masked slots (kernel-1 softmax), so no
+    # separate mask is needed here; src=0 padding contributes 0-weighted rows.
+    dalpha = jnp.einsum("vd,vjd->vj", g, values[src])
+    dvalues = jnp.zeros_like(values).at[src].add(
+        alpha[..., None].astype(values.dtype)
+        * g[:, None, :].astype(values.dtype))
+    return (dalpha.astype(alpha.dtype), dvalues, None, None, None, None, None)
+
+
+_bsp_spmm.defvjp(_bsp_spmm_fwd, _bsp_spmm_bwd)
+
+
+# --- public entry ------------------------------------------------------------
+
+
+def supports(graph, values_dim: int | None = None) -> bool:
+    """True when the batch carries a BSP plan the kernels can run."""
+    return (graph.bsp_tile > 0 and graph.ell_src is not None
+            and graph.bsp_pair_dst is not None)
+
+
+def bsp_weighted_aggregate(weights: jax.Array, values: jax.Array,
+                           graph) -> jax.Array:
+    """out[v] = sum_j weights[v, j] * values[ell_src[v, j]] over the tile-
+    pair plan. weights must already be 0 on masked slots (e.g. softmax
+    output, or mask/deg for mean aggregation)."""
+    return _bsp_spmm(weights.astype(jnp.float32), values, graph.ell_src,
+                     graph.bsp_pair_dst, graph.bsp_pair_src,
+                     graph.bsp_pair_first, graph.bsp_pair_last,
+                     graph.bsp_tile, _interpret())
+
+
+def bsp_mean(values: jax.Array, graph) -> jax.Array:
+    """Mean aggregation over in-neighbours via the block-sparse SpMM."""
+    maskf = graph.ell_mask.astype(jnp.float32)
+    deg = jnp.maximum(maskf.sum(axis=1, keepdims=True), 1.0)
+    return bsp_weighted_aggregate(maskf / deg, values, graph)
+
+
+def bsp_attention(q: jax.Array, k: jax.Array, values: jax.Array,
+                  graph) -> jax.Array:
+    """Fused edge attention over the tile-pair plan.
+
+    Drop-in for the ELL attention composition (dispatch._compose_ell_attention
+    semantics): logits scaled by 1/sqrt(dk), masked segment softmax over each
+    destination's in-edges, attention-weighted aggregation of source values.
+    """
+    interpret = _interpret()
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    qs = (q.astype(jnp.float32) * scale)
+    pd, ps = graph.bsp_pair_dst, graph.bsp_pair_src
+    fi, la = graph.bsp_pair_first, graph.bsp_pair_last
+    mask_i = graph.ell_mask.astype(jnp.int32)
+    alpha = _bsp_weights(qs, k.astype(jnp.float32), graph.ell_src, mask_i,
+                         pd, ps, fi, la, graph.bsp_tile, interpret)
+    return _bsp_spmm(alpha, values, graph.ell_src, pd, ps, fi, la,
+                     graph.bsp_tile, interpret)

@@ -49,7 +49,7 @@ def _pick_tiles(V: int, D: int, n: int, interpret: bool):
         else:
             return None
     feat_tile = None
-    for t in (1024, 512, 256, 128):
+    for t in (2048, 1024, 512, 256, 128):
         if D % t == 0:
             feat_tile = t
             break
@@ -70,11 +70,12 @@ def _attn_kernel(bias_ref, q_ref, k_ref, valid_ref, v_ref, out_ref, alpha_ref):
 
     @pl.when(pl.program_id(1) == 0)
     def _compute_alpha():
-        dk = q_ref.shape[-1]
-        # q @ k^T without an explicit transpose (contract last dims).
+        # q @ k^T without an explicit transpose (contract last dims); the
+        # 1/sqrt(dk) attention scale is pre-folded into q by the caller so
+        # the kernel's logits matmul carries it for free.
         logits = jax.lax.dot_general(
             q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) / np.sqrt(dk)
+            preferred_element_type=jnp.float32)
         # bias: -inf outside scene-block adjacency; mask invalid sources.
         logits = logits + bias_ref[:]
         logits = jnp.where(valid_ref[:].T > 0, logits, _NEG)
@@ -164,19 +165,27 @@ def _block_attn_bwd(node_tile, feat_tile, interpret, res, g):
     gb = g.reshape(S, T, D)
     validb = valid.reshape(S, T)
 
-    logits = jnp.einsum("sid,sjd->sij", qb, kb) / np.sqrt(dk)
+    # the 1/sqrt(dk) scale is pre-folded into q by block_fused_attention, so
+    # the recomputed logits and the q/k cotangents carry no explicit scale
+    # (the outer fold op transposes the scale onto dq automatically).
+    logits = jnp.einsum("sid,sjd->sij", qb.astype(jnp.float32),
+                        kb.astype(jnp.float32))
     logits = logits + bias[None]
     logits = jnp.where(validb[:, None, :] > 0, logits, _NEG)
     m = jnp.max(logits, -1, keepdims=True)
     e = jnp.exp(logits - jnp.maximum(m, _NEG / 2))
     denom = e.sum(-1, keepdims=True)
     alpha = jnp.where(denom > 1e-20, e / jnp.maximum(denom, 1e-30), 0.0)
+    alpha = alpha.astype(vb.dtype)
 
     dv = jnp.einsum("sij,sid->sjd", alpha, gb).reshape(V, D)
-    dalpha = jnp.einsum("sid,sjd->sij", gb, vb)
-    dlogits = alpha * (dalpha - jnp.sum(alpha * dalpha, -1, keepdims=True))
-    dq = (jnp.einsum("sij,sjd->sid", dlogits, kb) / np.sqrt(dk)).reshape(V, dk)
-    dk_ = (jnp.einsum("sij,sid->sjd", dlogits, qb) / np.sqrt(dk)).reshape(V, dk)
+    dalpha = jnp.einsum("sid,sjd->sij", gb, vb).astype(jnp.float32)
+    alpha32 = alpha.astype(jnp.float32)
+    dlogits = alpha32 * (dalpha - jnp.sum(alpha32 * dalpha, -1, keepdims=True))
+    dq = jnp.einsum("sij,sjd->sid", dlogits,
+                    kb.astype(jnp.float32)).reshape(V, dk)
+    dk_ = jnp.einsum("sij,sid->sjd", dlogits,
+                     qb.astype(jnp.float32)).reshape(V, dk)
     return (dq.astype(q.dtype), dk_.astype(k.dtype), dv.astype(values.dtype),
             jnp.zeros_like(valid), jnp.zeros_like(bias))
 
@@ -204,5 +213,10 @@ def block_fused_attention(q: jax.Array, k: jax.Array, values: jax.Array,
     f32 = jnp.float32
     bias = _tile_bias(graph.scene_adj, n, node_tile)
     valid = graph.node_mask.astype(f32)[:, None]
-    return _block_attn(q.astype(f32), k.astype(f32), values, valid, bias,
+    # Fold the attention scale into q (free in the kernel's logits matmul);
+    # run q/k through the MXU in the values dtype — bf16 inputs with f32
+    # accumulation on the bf16 path, f32 otherwise.
+    qk_dtype = values.dtype if values.dtype == jnp.bfloat16 else f32
+    q = (q.astype(f32) / np.sqrt(q.shape[-1])).astype(qk_dtype)
+    return _block_attn(q, k.astype(qk_dtype), values, valid, bias,
                        node_tile, feat_tile, interpret)

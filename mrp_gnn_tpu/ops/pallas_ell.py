@@ -255,10 +255,7 @@ def _softmax_kernel(x_ref, mask_ref, out_ref):
     out_ref[:] = jnp.where(denom > 0, e / jnp.maximum(denom, 1e-30), 0.0)
 
 
-def ell_softmax(logits: jax.Array, ell_mask: jax.Array) -> jax.Array:
-    """Masked row softmax; differentiable via the XLA oracle (the kernel is
-    forward-only and this op is tiny — use R.ell_softmax in training paths
-    needing gradients through a standalone softmax)."""
+def _softmax_forward(logits, maskf, interpret):
     V, deg = logits.shape
     Tv = _node_tile(V)
     return pl.pallas_call(
@@ -271,5 +268,33 @@ def ell_softmax(logits: jax.Array, ell_mask: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((Tv, deg), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V, deg), jnp.float32),
-        interpret=_interpret(),
-    )(logits.astype(jnp.float32), ell_mask.astype(jnp.float32))
+        interpret=interpret,
+    )(logits, maskf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _ell_softmax(logits, maskf, interpret):
+    return _softmax_forward(logits, maskf, interpret)
+
+
+def _ell_softmax_fwd(logits, maskf, interpret):
+    alpha = _softmax_forward(logits, maskf, interpret)
+    return alpha, (alpha,)
+
+
+def _ell_softmax_bwd(interpret, res, g):
+    (alpha,) = res
+    # softmax jacobian per row: dl = alpha * (g - <alpha, g>); masked slots
+    # have alpha == 0 so their cotangent vanishes automatically.
+    dl = alpha * (g - jnp.sum(alpha * g, axis=-1, keepdims=True))
+    return dl, None
+
+
+_ell_softmax.defvjp(_ell_softmax_fwd, _ell_softmax_bwd)
+
+
+def ell_softmax(logits: jax.Array, ell_mask: jax.Array) -> jax.Array:
+    """Masked row softmax (Pallas kernel, trainable via custom_vjp — the
+    backward uses the standard softmax jacobian on the saved alpha)."""
+    return _ell_softmax(logits.astype(jnp.float32),
+                        ell_mask.astype(jnp.float32), _interpret())

@@ -1,0 +1,128 @@
+"""Tile-block-sparse fused attention kernels (ops/pallas_bsp.py) vs the XLA
+ELL oracles — interpret mode on CPU (SURVEY.md section 4.2); the real-chip
+run is covered by scripts + BASELINE.md numbers."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrp_gnn_tpu.graph import (batch_fully_connected, batch_homogeneous,
+                               radius_edges)
+from mrp_gnn_tpu.ops import pallas_bsp as B
+from mrp_gnn_tpu.ops import reference as R
+
+
+def _ell_oracle(q, k, v, gb):
+    logits = R.ell_sddmm(q, k, gb.ell_src, gb.ell_mask) / np.sqrt(q.shape[-1])
+    alpha = R.ell_softmax(logits, gb.ell_mask)
+    return R.ell_aggregate(alpha, v, gb.ell_src, gb.ell_mask, "sum")
+
+
+def _rand(gb, D=24, dk=16, seed=0):
+    V = gb.max_nodes
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)))
+
+
+GRAPHS = {
+    "fc_2x8": lambda: batch_fully_connected(2, 8),
+    "radius_4x32": lambda: batch_homogeneous(4, 32, radius_edges(32, 4)),
+    "fc_16x8": lambda: batch_fully_connected(16, 8),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_bsp_attention_matches_oracle(name):
+    gb = GRAPHS[name]()
+    assert B.supports(gb), "batch should carry a BSP plan"
+    q, k, v = _rand(gb)
+    got = B.bsp_attention(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_gradients_match_oracle():
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    q, k, v = _rand(gb)
+
+    g_bsp = jax.grad(lambda q, k, v: jnp.sum(B.bsp_attention(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_bsp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bsp_mean_matches_oracle():
+    gb = batch_fully_connected(2, 8)
+    _, _, v = _rand(gb)
+    got = B.bsp_mean(v, gb)
+    ones = gb.ell_mask.astype(v.dtype)
+    want = R.ell_aggregate(ones, v, gb.ell_src, gb.ell_mask, "mean")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_padding_invariance():
+    """Extra padded node slots (mask False) never change valid outputs."""
+    gb_small = batch_fully_connected(2, 8)           # V = 16
+    gb_padded = batch_fully_connected(2, 8, max_nodes=32)
+    q, k, v = _rand(gb_padded)
+    Vs = gb_small.max_nodes
+    out_pad = B.bsp_attention(q, k, v, gb_padded)
+    out_small = B.bsp_attention(q[:Vs], k[:Vs], v[:Vs], gb_small)
+    np.testing.assert_allclose(np.asarray(out_pad[:Vs]),
+                               np.asarray(out_small), rtol=1e-5, atol=1e-5)
+    # padded destination rows aggregate to exactly zero
+    np.testing.assert_array_equal(np.asarray(out_pad[Vs:]), 0.0)
+
+
+def test_bsp_pair_plan_structure():
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    pd = np.asarray(gb.bsp_pair_dst)
+    ps = np.asarray(gb.bsp_pair_src)
+    fi = np.asarray(gb.bsp_pair_first)
+    la = np.asarray(gb.bsp_pair_last)
+    nt = gb.max_nodes // gb.bsp_tile
+    # dst-major grouping, one first and one last per dst tile
+    assert (np.diff(pd) >= 0).all()
+    for t in range(nt):
+        sel = pd == t
+        assert sel.any()
+        assert fi[sel][0] == 1 and fi[sel][1:].sum() == 0
+        assert la[sel][-1] == 1 and la[sel][:-1].sum() == 0
+    # every touched (dst,src) tile pair of the ELL lists is covered
+    src = np.asarray(gb.ell_src)
+    mask = np.asarray(gb.ell_mask)
+    T = gb.bsp_tile
+    for t in range(nt):
+        rows = slice(t * T, (t + 1) * T)
+        need = set((src[rows][mask[rows]] // T).tolist())
+        have = set(ps[pd == t].tolist())
+        assert need <= have, (t, need, have)
+
+
+def test_bsp_through_fusion_layer_pallas_backend():
+    """The pallas backend routes ELL attention through the BSP kernels when
+    the batch carries a plan; the full fusion layer must agree with xla."""
+    from mrp_gnn_tpu.models.fusion import GraphFusionLayer
+    gb = batch_fully_connected(2, 8)
+    gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)  # force ELL
+    V = gb.max_nodes
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(V, 4, 4, 16)).astype(np.float32))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        layer = GraphFusionLayer(aggregation="attention", attention_dim=8,
+                                 ops_impl=impl)
+        params = layer.init(jax.random.PRNGKey(0), feats, gb)
+        outs[impl] = layer.apply(params, feats, gb)
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["xla"]), rtol=1e-4, atol=1e-4)

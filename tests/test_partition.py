@@ -118,6 +118,18 @@ def test_boundary_traffic_scales_with_boundary_fraction():
     assert boundary_fraction(plan_fc) > 0.8
 
 
+def test_swarm_preset_has_real_boundary():
+    """Guard: config 5's replica graph must STRADDLE graph shards — a
+    scene-aligned layout silently degenerates to zero boundary exchange."""
+    from mrp_gnn_tpu.config import get_config
+    from mrp_gnn_tpu.train import replica_graph_for
+    cfg = get_config("swarm_partitioned")
+    gb = replica_graph_for(cfg)
+    plan = partition_graph(gb, cfg.parallel.graph_axis_size)
+    assert boundary_fraction(plan) > 0.02
+    assert len(plan.deltas) >= 1
+
+
 def test_partitioned_gradients_match():
     gb = batch_fully_connected(2, 8)
     V, D, dk = gb.max_nodes, 12, 4
