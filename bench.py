@@ -145,7 +145,7 @@ def main():
 
     # Roofline from MEASURED stream bandwidth (the axon-tunneled chip
     # delivers far below the v5e spec sheet's 819 GB/s — see
-    # scripts/hw_probe2.py): the gather formulation reads E*D bf16 bytes of
+    # scripts/hw_probe.py): the gather formulation reads E*D bf16 bytes of
     # source values; the block-dense formulation reads each value row once
     # (V*D read + V*D write) -- its edge rate is E/V times the row rate.
     hbm = measure_stream_bw(V, D, args.iters)

@@ -189,16 +189,54 @@ def make_parallel(cfg: ExperimentConfig):
     return make_parallel_context(cfg, replica_graph_for(cfg))
 
 
-def _stack_microbatches(it: Iterator[dict], accum: int) -> Iterator[dict]:
-    """Group ``accum`` consecutive batches into one stacked step input."""
-    while True:
-        group = [next(it) for _ in range(accum)]
-        yield {
-            "images": np.stack([b["images"] for b in group]),
-            "depth": np.stack([b["depth"] for b in group]),
-            "seg": np.stack([b["seg"] for b in group]),
-            "graph": group[0]["graph"],
-        }
+class _MicrobatchStacker:
+    """Groups ``accum`` consecutive batches into one stacked step input.
+
+    Microbatches are copied into a preallocated ``[accum, ...]`` block as
+    they arrive (peak host memory = one stacked block + one microbatch, not
+    two full stacked copies), and a daemon thread keeps the next group ready
+    so host-side stacking overlaps device compute instead of serializing
+    with it.
+    """
+
+    def __init__(self, it: Iterator[dict], accum: int):
+        import queue
+        import threading
+        self._it, self._accum = it, accum
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _build(self) -> dict:
+        b0 = next(self._it)
+        out = {k: np.empty((self._accum,) + b0[k].shape, b0[k].dtype)
+               for k in ("images", "depth", "seg")}
+        for k in out:
+            out[k][0] = b0[k]
+        for i in range(1, self._accum):
+            b = next(self._it)
+            for k in out:
+                out[k][i] = b[k]
+        out["graph"] = b0["graph"]
+        return out
+
+    def _fill(self):
+        while not self._stop.is_set():
+            self._q.put(self._build())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._q.get_nowait()  # unblock the producer if it is waiting
+        except Exception:
+            pass
 
 
 def train(cfg: ExperimentConfig, num_steps: int | None = None,
@@ -214,7 +252,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         it = make_train_iterator(cfg.data)
     raw_it = it  # pre-stacking handle: carries get_state() for grain
     if accum > 1:
-        it = _stack_microbatches(it, accum)
+        it = _MicrobatchStacker(it, accum)
     first = next(it)
 
     pctx = make_parallel(cfg)
@@ -249,12 +287,14 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                 # O(1) seek via saved iterator state (grain) or epoch/offset
                 # fast-forward (builtin) — never render-and-discard.
                 from mrp_gnn_tpu.data.pipeline import make_train_iterator
+                if isinstance(it, _MicrobatchStacker):
+                    it.close()  # stop the stale pre-resume stacking thread
                 it = make_train_iterator(
                     cfg.data, start_batch=int(state.step) * accum,
                     data_state=ckpt_mgr.latest_data_state())
                 raw_it = it
                 if accum > 1:
-                    it = _stack_microbatches(it, accum)
+                    it = _MicrobatchStacker(it, accum)
                 batch0 = next(it)
                 first = (pctx.shard_batch(batch0, leading_accum=accum > 1)
                          if pctx else batch0)

@@ -2,14 +2,24 @@
 
 SURVEY.md section 4.2: the reference mount was empty, so the allclose parity
 contract (BASELINE.json:5) is anchored to a minimal torch reimplementation of
-the same math (the reference is a torch codebase), with weights transplanted
-from the flax model. When the real reference tree appears, swap its modules
-in here.
+the same math. Round 2 (VERDICT item 9) strengthens the oracle to the
+reference direction and the full training-math standard:
+
+- the twin owns its parameters as torch tensors, initialized with TORCH's
+  native defaults (kaiming-uniform a=sqrt(5), the nn.Conv2d/nn.Linear recipe)
+  — weights are transplanted torch -> flax, the direction a real reference
+  port would use;
+- the forward is differentiable (no torch.no_grad), and the twin implements
+  the same mask-aware losses as mrp_gnn_tpu.losses, so tests can assert
+  loss-value AND per-parameter gradient parity, not just activations.
+
+When the real reference tree appears, swap its modules in here.
 
 DO NOT import torch from the main package — this module is test-only.
-Layout notes: flax is NHWC with conv kernels (kh, kw, in, out); torch is
-NCHW with (out, in, kh, kw). SAME padding for stride-2 convs is asymmetric
-(XLA pads bottom/right), so convs here pre-pad explicitly.
+Layout notes: flax is NHWC with conv kernels (kh, kw, in, out) and dense
+kernels (in, out); torch is NCHW with conv (out, in, kh, kw) and linear
+(out, in). SAME padding for stride-2 convs is asymmetric (XLA pads
+bottom/right), so convs here pre-pad explicitly.
 """
 
 from __future__ import annotations
@@ -29,48 +39,193 @@ def _same_pad(x: torch.Tensor, k: int, s: int) -> torch.Tensor:
     return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
 
 
-def _conv(x, kernel_nhwc, bias, stride=1):
-    """flax-kernel conv on NCHW input."""
-    w = torch.from_numpy(np.ascontiguousarray(
-        np.transpose(kernel_nhwc, (3, 2, 0, 1))))  # -> (out, in, kh, kw)
-    x = _same_pad(x, w.shape[-1], stride)
-    b = torch.from_numpy(np.asarray(bias)) if bias is not None else None
-    return F.conv2d(x, w, b, stride=stride)
+# ---------------------------------------------------------------------------
+# Parameter tree: torch layouts, flax names.
+# ---------------------------------------------------------------------------
+
+def _conv_spec(in_ch, out_ch, k, bias):
+    return {"kind": "conv", "in": in_ch, "out": out_ch, "k": k, "bias": bias}
 
 
-def _group_norm(x, num_groups, scale, bias, eps=1e-6):
-    return F.group_norm(x, num_groups, torch.from_numpy(np.asarray(scale)),
-                        torch.from_numpy(np.asarray(bias)), eps=eps)
+def _dense_spec(in_f, out_f):
+    return {"kind": "dense", "in": in_f, "out": out_f}
 
 
-def _dense(x, kernel, bias):
-    return x @ torch.from_numpy(np.asarray(kernel)) + torch.from_numpy(np.asarray(bias))
+def _gn_spec(ch):
+    return {"kind": "gn", "ch": ch}
+
+
+def param_spec(cfg) -> dict:
+    """Nested spec mirroring the flax param tree of MultiRobotPerceptionNet
+    (models/net.py): same names, torch-native tensor layouts."""
+
+    def conv_block(in_ch, out_ch):
+        return {"Conv_0": _conv_spec(in_ch, out_ch, 3, bias=False),
+                "GroupNorm_0": _gn_spec(out_ch)}
+
+    def res_block(ch):
+        return {"ConvBlock_0": conv_block(ch, ch),
+                "Conv_0": _conv_spec(ch, ch, 3, bias=False),
+                "GroupNorm_0": _gn_spec(ch)}
+
+    chans = cfg.encoder_channels
+    enc = {"stem": conv_block(cfg.in_channels, chans[0])}
+    prev = chans[0]
+    for i, ch in enumerate(chans):
+        enc[f"down{i}"] = conv_block(prev, ch)
+        enc[f"res{i}"] = res_block(ch)
+        prev = ch
+    spec = {"encoder": enc}
+
+    C = chans[-1]
+    if cfg.fusion != "none":
+        for i in range(cfg.num_fusion_layers):
+            f = {"value": _conv_spec(C, C, 1, bias=True),
+                 "update": _conv_spec(2 * C, C, 1, bias=False),
+                 "update_norm": _gn_spec(C)}
+            if cfg.fusion == "attention":
+                d = cfg.attention_heads * cfg.attention_dim
+                f["query"] = _dense_spec(C, d)
+                f["key"] = _dense_spec(C, d)
+            spec[f"fusion{i}"] = f
+
+    dec = {}
+    x_ch = C
+    n = len(chans)
+    for i in reversed(range(n)):
+        in_ch = x_ch + (chans[i - 1] if i > 0 else 0)
+        out_ch = chans[max(i - 1, 0)]
+        dec[f"up{i}"] = conv_block(in_ch, out_ch)
+        x_ch = out_ch
+    spec["decoder"] = dec
+
+    if cfg.predict_depth:
+        spec["depth_head"] = {"out": _conv_spec(x_ch, 1, 1, bias=True)}
+    if cfg.num_seg_classes > 0:
+        spec["seg_head"] = {"out": _conv_spec(x_ch, cfg.num_seg_classes, 1,
+                                              bias=True)}
+    return spec
+
+
+def _init_leaf(spec: dict) -> dict:
+    """Torch-native default init (what nn.Conv2d / nn.Linear reset_parameters
+    does): kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    for the weight, and the same bound for the bias."""
+    if spec["kind"] == "conv":
+        fan_in = spec["in"] * spec["k"] * spec["k"]
+        b = 1.0 / math.sqrt(fan_in)
+        out = {"kernel": torch.empty(
+            spec["out"], spec["in"], spec["k"], spec["k"]).uniform_(-b, b)}
+        if spec["bias"]:
+            out["bias"] = torch.empty(spec["out"]).uniform_(-b, b)
+        return out
+    if spec["kind"] == "dense":
+        b = 1.0 / math.sqrt(spec["in"])
+        return {"kernel": torch.empty(spec["out"], spec["in"]).uniform_(-b, b),
+                "bias": torch.empty(spec["out"]).uniform_(-b, b)}
+    if spec["kind"] == "gn":
+        return {"scale": torch.ones(spec["ch"]),
+                "bias": torch.zeros(spec["ch"])}
+    raise ValueError(spec)
+
+
+def _walk_init(spec: dict) -> dict:
+    if "kind" in spec:
+        return _init_leaf(spec)
+    return {k: _walk_init(v) for k, v in sorted(spec.items())}
+
+
+def _torch_leaf_to_flax(name: str, t: torch.Tensor) -> np.ndarray:
+    a = t.detach().numpy()
+    if name == "kernel" and a.ndim == 4:          # conv (o,i,kh,kw)->(kh,kw,i,o)
+        return np.ascontiguousarray(np.transpose(a, (2, 3, 1, 0)))
+    if name == "kernel" and a.ndim == 2:          # linear (o,i)->(i,o)
+        return np.ascontiguousarray(a.T)
+    return a
+
+
+def _flax_leaf_to_torch(name: str, a) -> torch.Tensor:
+    a = np.asarray(a, dtype=np.float32)
+    if name == "kernel" and a.ndim == 4:
+        a = np.transpose(a, (3, 2, 0, 1))
+    elif name == "kernel" and a.ndim == 2:
+        a = a.T
+    return torch.from_numpy(np.ascontiguousarray(a))
+
+
+def _tree_map_leaves(tree: dict, fn) -> dict:
+    out = {}
+    for k, v in tree.items():
+        out[k] = _tree_map_leaves(v, fn) if isinstance(v, dict) else fn(k, v)
+    return out
+
+
+def flatten_params(tree: dict, prefix=()) -> dict:
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(flatten_params(v, prefix + (k,)))
+        else:
+            flat["/".join(prefix + (k,))] = v
+    return flat
 
 
 class TorchTwin:
-    """Forward-only twin driven directly by the flax param pytree."""
+    """Differentiable torch twin holding its own parameter tensors."""
 
-    def __init__(self, model_config, flax_params):
+    def __init__(self, model_config, torch_tree: dict):
         self.cfg = model_config
-        p = flax_params["params"] if "params" in flax_params else flax_params
-        self.p = p
+        self.p = torch_tree
 
-    # -- building blocks ---------------------------------------------------
-    def _conv_block(self, x, params, stride):
-        ch = params["Conv_0"]["kernel"].shape[-1]
-        x = _conv(x, np.asarray(params["Conv_0"]["kernel"]), None, stride)
+    # -- constructors / converters -----------------------------------------
+    @classmethod
+    def init(cls, model_config, seed: int) -> "TorchTwin":
+        """Independent torch-native initialization (the reference direction:
+        these weights get transplanted INTO the flax model)."""
+        torch.manual_seed(seed)
+        return cls(model_config, _walk_init(param_spec(model_config)))
+
+    @classmethod
+    def from_flax(cls, model_config, flax_params) -> "TorchTwin":
+        p = flax_params["params"] if "params" in flax_params else flax_params
+        return cls(model_config, _tree_map_leaves(p, _flax_leaf_to_torch))
+
+    def flax_params(self) -> dict:
+        """Torch -> flax transplant: the pytree to feed model.apply."""
+        return {"params": _tree_map_leaves(self.p, _torch_leaf_to_flax)}
+
+    def requires_grad_(self) -> "TorchTwin":
+        for t in flatten_params(self.p).values():
+            t.requires_grad_(True)
+        return self
+
+    def grads_flax(self) -> dict:
+        """Per-parameter gradients, converted to flax layout/names."""
+        return {"params": _tree_map_leaves(
+            self.p, lambda n, t: _torch_leaf_to_flax(
+                n, torch.zeros_like(t) if t.grad is None else t.grad))}
+
+    # -- building blocks ----------------------------------------------------
+    def _conv(self, x, params, stride=1):
+        w = params["kernel"]
+        x = _same_pad(x, w.shape[-1], stride)
+        return F.conv2d(x, w, params.get("bias"), stride=stride)
+
+    def _gn(self, x, params, ch):
         g = min(self.cfg.norm_groups, ch)
-        x = _group_norm(x, g, params["GroupNorm_0"]["scale"],
-                        params["GroupNorm_0"]["bias"])
+        return F.group_norm(x, g, params["scale"], params["bias"], eps=1e-6)
+
+    def _conv_block(self, x, params, stride):
+        ch = params["Conv_0"]["kernel"].shape[0]
+        x = self._conv(x, params["Conv_0"], stride)
+        x = self._gn(x, params["GroupNorm_0"], ch)
         return F.relu(x)
 
     def _res_block(self, x, params):
-        ch = params["Conv_0"]["kernel"].shape[-1]
+        ch = params["Conv_0"]["kernel"].shape[0]
         h = self._conv_block(x, params["ConvBlock_0"], 1)
-        h = _conv(h, np.asarray(params["Conv_0"]["kernel"]), None, 1)
-        g = min(self.cfg.norm_groups, ch)
-        h = _group_norm(h, g, params["GroupNorm_0"]["scale"],
-                        params["GroupNorm_0"]["bias"])
+        h = self._conv(h, params["Conv_0"], 1)
+        h = self._gn(h, params["GroupNorm_0"], ch)
         return F.relu(x + h)
 
     # -- stages ------------------------------------------------------------
@@ -85,45 +240,46 @@ class TorchTwin:
         return skips, x
 
     def fusion(self, feats, edge_src, edge_dst, edge_mask, node_mask, layer=0):
-        """Dense-math edge attention identical to the sparse JAX path."""
+        """Dense-math edge attention identical to the sparse JAX path.
+        Out-of-place ops throughout so autograd tracks every step."""
         p = self.p[f"fusion{layer}"]
         V, C = feats.shape[0], feats.shape[1]
-        values = _conv(feats, np.asarray(p["value"]["kernel"]),
-                       p["value"]["bias"], 1)
+        values = self._conv(feats, p["value"], 1)
+        src = torch.from_numpy(edge_src.astype(np.int64))
+        dst = torch.from_numpy(edge_dst.astype(np.int64))
+        mask = torch.from_numpy(edge_mask.astype(bool))
 
         if self.cfg.fusion == "attention":
             pooled = feats.mean(dim=(2, 3))  # [V, C]
-            q = _dense(pooled, p["query"]["kernel"], p["query"]["bias"])
-            k = _dense(pooled, p["key"]["kernel"], p["key"]["bias"])
+            q = F.linear(pooled, p["query"]["kernel"], p["query"]["bias"])
+            k = F.linear(pooled, p["key"]["kernel"], p["key"]["bias"])
             d = q.shape[-1]
-            # per-edge logits, softmax per destination (loop = oracle clarity)
-            logits = (q[edge_dst] * k[edge_src]).sum(-1) / math.sqrt(d)
+            logits = (q[dst] * k[src]).sum(-1) / math.sqrt(d)
+            # per-destination masked softmax (loop = oracle clarity)
             alpha = torch.zeros_like(logits)
             for v in range(V):
-                sel = (torch.from_numpy(edge_dst) == v) & torch.from_numpy(edge_mask)
+                sel = (dst == v) & mask
                 if sel.any():
-                    alpha[sel] = torch.softmax(logits[sel], dim=0)
+                    lm = torch.where(sel, logits, torch.tensor(-torch.inf))
+                    e = torch.exp(lm - logits[sel].max().detach())
+                    alpha = alpha + torch.where(sel, e / e.sum(), 0.0)
             msg = torch.zeros_like(values)
-            for e in range(len(edge_src)):
-                if edge_mask[e]:
-                    msg[edge_dst[e]] += alpha[e] * values[edge_src[e]]
+            weighted = alpha[:, None, None, None] * values[src]
+            msg = msg.index_add(0, dst, weighted * mask[:, None, None, None])
         elif self.cfg.fusion == "mean":
-            msg = torch.zeros_like(values)
-            deg = torch.zeros(V)
-            for e in range(len(edge_src)):
-                if edge_mask[e]:
-                    msg[edge_dst[e]] += values[edge_src[e]]
-                    deg[edge_dst[e]] += 1
+            msg = torch.zeros_like(values).index_add(
+                0, dst, values[src] * mask[:, None, None, None])
+            deg = torch.zeros(V).index_add(0, dst, mask.float())
             msg = msg / deg.clamp(min=1.0)[:, None, None, None]
         else:
             raise ValueError(self.cfg.fusion)
 
         fused = torch.cat([feats, msg], dim=1)
-        fused = _conv(fused, np.asarray(p["update"]["kernel"]), None, 1)
-        fused = _group_norm(fused, min(self.cfg.norm_groups, C),
-                            p["update_norm"]["scale"], p["update_norm"]["bias"])
+        fused = self._conv(fused, p["update"], 1)
+        fused = self._gn(fused, p["update_norm"], C)
         out = feats + F.relu(fused)
-        return out * torch.from_numpy(node_mask.astype(np.float32))[:, None, None, None]
+        return out * torch.from_numpy(
+            node_mask.astype(np.float32))[:, None, None, None]
 
     def decoder(self, skips, bottleneck):
         p = self.p["decoder"]
@@ -139,21 +295,17 @@ class TorchTwin:
     def heads(self, dec):
         out = {}
         if self.cfg.predict_depth:
-            p = self.p["depth_head"]
-            raw = _conv(dec, np.asarray(p["out"]["kernel"]), p["out"]["bias"], 1)
+            raw = self._conv(dec, self.p["depth_head"]["out"], 1)
             out["depth"] = (self.cfg.min_depth +
                             (self.cfg.max_depth - self.cfg.min_depth)
                             * torch.sigmoid(raw[:, 0]))
         if self.cfg.num_seg_classes > 0:
-            p = self.p["seg_head"]
-            out["seg_logits"] = _conv(dec, np.asarray(p["out"]["kernel"]),
-                                      p["out"]["bias"], 1)
+            out["seg_logits"] = self._conv(dec, self.p["seg_head"]["out"], 1)
         return out
 
     # -- full forward ------------------------------------------------------
-    @torch.no_grad()
-    def forward(self, images_nhwc: np.ndarray, graph) -> dict:
-        """Returns activations dict in NHWC numpy, matching the JAX model."""
+    def forward_t(self, images_nhwc: np.ndarray, graph) -> dict:
+        """Differentiable forward; returns torch tensors (NCHW for maps)."""
         x = torch.from_numpy(np.transpose(images_nhwc, (0, 3, 1, 2)).copy())
         skips, bottleneck = self.encoder(x)
         acts = {"bottleneck": bottleneck}
@@ -169,8 +321,52 @@ class TorchTwin:
         dec = self.decoder(skips, fused)
         acts["decoder"] = dec
         acts.update(self.heads(dec))
+        return acts
+
+    def forward(self, images_nhwc: np.ndarray, graph) -> dict:
+        """Inference forward; activations as NHWC numpy (matches JAX model)."""
+        with torch.no_grad():
+            acts = self.forward_t(images_nhwc, graph)
 
         def to_nhwc(t):
             a = t.numpy()
             return np.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
         return {k: to_nhwc(v) for k, v in acts.items()}
+
+    # -- losses (mirror of mrp_gnn_tpu.losses, torch math) ------------------
+    def loss(self, images_nhwc, graph, batch, depth_loss="l1",
+             depth_weight=1.0, seg_weight=1.0):
+        out = self.forward_t(images_nhwc, graph)
+        nmask = torch.from_numpy(np.asarray(graph.node_mask).astype(bool))
+        total = torch.zeros(())
+        terms = {}
+        if "depth" in out:
+            pred = out["depth"]
+            target = torch.from_numpy(np.asarray(batch["depth"]))
+            valid = (target > 0) & nmask[:, None, None]
+            n = valid.sum().clamp(min=1).float()
+            if depth_loss == "l1":
+                dl = (torch.abs(pred - target) * valid).sum() / n
+            elif depth_loss == "silog":
+                d = (torch.log(pred.clamp(min=1e-6))
+                     - torch.log(target.clamp(min=1e-6))) * valid
+                dl = (d ** 2).sum() / n - 0.5 * (d.sum() / n) ** 2
+            elif depth_loss == "berhu":
+                d = torch.abs(pred - target) * valid
+                c = (0.2 * d.max()).clamp(min=1e-6)
+                l = torch.where(d <= c, d, (d ** 2 + c ** 2) / (2 * c))
+                dl = (l * valid).sum() / n
+            else:
+                raise ValueError(depth_loss)
+            terms[f"depth_{depth_loss}"] = dl
+            total = total + depth_weight * dl
+        if "seg_logits" in out:
+            logits = out["seg_logits"]  # [V, K, H, W]
+            labels = torch.from_numpy(np.asarray(batch["seg"]).astype(np.int64))
+            ce = F.cross_entropy(logits, labels, reduction="none")
+            valid = nmask[:, None, None].float().expand_as(ce)
+            sl = (ce * valid).sum() / valid.sum().clamp(min=1)
+            terms["seg_ce"] = sl
+            total = total + seg_weight * sl
+        terms["total"] = total
+        return total, terms

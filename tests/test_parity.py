@@ -1,9 +1,14 @@
-"""Per-layer activation parity vs the torch-CPU twin (BASELINE.json:5).
+"""Parity vs the torch-CPU twin (BASELINE.json:5) — training-math standard.
 
 The reference implementation is a torch codebase; with the reference mount
 empty (SURVEY.md section 0) the twin in parity_torch.py is the stand-in
-oracle: identical math, weights transplanted from the flax model, per-layer
-activations compared allclose for configs 1-4.
+oracle. Round 2 (VERDICT item 9) anchors parity in the reference direction:
+the twin initializes its weights with torch's native defaults and the flax
+model receives the TRANSPLANTED torch weights. Asserted for configs 1-4:
+
+- per-layer activation allclose (forward),
+- loss-value allclose for every depth-loss family in the config space,
+- per-parameter gradient allclose (torch autograd vs jax.grad).
 """
 
 import jax
@@ -13,33 +18,54 @@ import pytest
 
 from mrp_gnn_tpu.config import get_config
 from mrp_gnn_tpu.graph import batch_fully_connected
+from mrp_gnn_tpu.losses import total_loss
 from mrp_gnn_tpu.models import MultiRobotPerceptionNet
 
-from tests.parity_torch import TorchTwin
+from tests.parity_torch import TorchTwin, flatten_params
 
 CONFIGS = ["single_robot_depth", "two_robot_mean", "five_robot_attention",
            "multitask_batched"]
 
-TOL = dict(rtol=1e-4, atol=1e-4)
+ACT_TOL = dict(rtol=1e-4, atol=1e-4)
+LOSS_TOL = dict(rtol=1e-5, atol=1e-6)
+GRAD_TOL = dict(rtol=2e-3, atol=5e-5)
+
+
+def _setup(name, seed=0):
+    """Torch-native init -> transplant torch->flax (reference direction)."""
+    cfg = get_config(name)
+    H, W = cfg.model.image_size
+    n = cfg.data.num_robots
+    gb = batch_fully_connected(2, n)
+    V = gb.max_nodes
+
+    rng = np.random.default_rng(123 + seed)
+    images = rng.uniform(size=(V, H, W, 3)).astype(np.float32)
+    depth = rng.uniform(0.5, cfg.model.max_depth,
+                        size=(V, H, W)).astype(np.float32)
+    depth[rng.uniform(size=depth.shape) < 0.1] = 0.0  # invalid pixels masked
+    seg = rng.integers(0, max(cfg.model.num_seg_classes, 1),
+                       size=(V, H, W)).astype(np.int32)
+    batch = {"depth": depth, "seg": seg}
+
+    twin = TorchTwin.init(cfg.model, seed=31 + seed)
+    params = twin.flax_params()
+    model = MultiRobotPerceptionNet(cfg.model)
+    # Transplant sanity: the torch-initialized tree must cover the flax tree
+    # exactly (same names, same shapes) — a drifted twin fails loudly here.
+    ref_shapes = jax.tree_util.tree_map(
+        jnp.shape, model.init(jax.random.PRNGKey(0), jnp.asarray(images), gb))
+    got_shapes = jax.tree_util.tree_map(jnp.shape, params)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    assert ref_shapes == got_shapes
+    return cfg, gb, images, batch, twin, model, params
 
 
 @pytest.mark.parametrize("name", CONFIGS)
 def test_per_layer_activation_parity(name):
-    cfg = get_config(name)
-    H, W = cfg.model.image_size
-    n = cfg.data.num_robots
-    num_scenes = 2
-    gb = batch_fully_connected(num_scenes, n)
-    V = gb.max_nodes
-
-    rng = np.random.default_rng(123)
-    images = rng.uniform(size=(V, H, W, 3)).astype(np.float32)
-
-    model = MultiRobotPerceptionNet(cfg.model)
-    params = model.init(jax.random.PRNGKey(7), jnp.asarray(images), gb)
+    cfg, gb, images, _, twin, model, params = _setup(name)
     jax_out = jax.device_get(model.apply(params, jnp.asarray(images), gb))
-
-    twin = TorchTwin(cfg.model, jax.device_get(params))
     torch_out = twin.forward(images, gb)
 
     # Compare layer by layer, deepest-first error attribution.
@@ -48,4 +74,63 @@ def test_per_layer_activation_parity(name):
             continue
         a, b = np.asarray(jax_out[key]), torch_out[key]
         a = a.reshape(b.shape)
-        np.testing.assert_allclose(a, b, err_msg=f"layer {key!r}", **TOL)
+        np.testing.assert_allclose(a, b, err_msg=f"layer {key!r}", **ACT_TOL)
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_loss_and_gradient_parity(name):
+    cfg, gb, images, batch, twin, model, params = _setup(name)
+    depth_loss = cfg.train.depth_loss
+    dw, sw = cfg.train.depth_loss_weight, cfg.train.seg_loss_weight
+
+    def jax_loss(p):
+        out = model.apply(p, jnp.asarray(images), gb)
+        loss, terms = total_loss(out, batch, gb.node_mask,
+                                 depth_weight=dw, seg_weight=sw,
+                                 depth_loss=depth_loss)
+        return loss, terms
+
+    (jl, jterms), jgrads = jax.value_and_grad(jax_loss, has_aux=True)(params)
+
+    twin.requires_grad_()
+    tl, tterms = twin.loss(images, gb, batch, depth_loss=depth_loss,
+                           depth_weight=dw, seg_weight=sw)
+    tl.backward()
+    tl, tterms = tl.detach(), {k: v.detach() for k, v in tterms.items()}
+
+    # Loss values (total + every term).
+    np.testing.assert_allclose(float(jl), float(tl), **LOSS_TOL)
+    for k, v in jterms.items():
+        np.testing.assert_allclose(float(v), float(tterms[k]),
+                                   err_msg=f"loss term {k!r}", **LOSS_TOL)
+
+    # Per-parameter gradients, torch autograd vs jax.grad.
+    jflat = flatten_params(jax.device_get(jgrads))
+    tflat = flatten_params(twin.grads_flax())
+    assert set(jflat) == set(tflat)
+    for k in sorted(jflat):
+        np.testing.assert_allclose(np.asarray(jflat[k]), tflat[k],
+                                   err_msg=f"grad {k!r}", **GRAD_TOL)
+
+
+@pytest.mark.parametrize("depth_loss", ["berhu", "silog"])
+def test_alternate_depth_loss_parity(depth_loss):
+    """The non-default depth-loss families hold loss+grad parity too."""
+    cfg, gb, images, batch, twin, model, params = _setup("two_robot_mean")
+
+    def jax_loss(p):
+        out = model.apply(p, jnp.asarray(images), gb)
+        loss, _ = total_loss(out, batch, gb.node_mask, depth_loss=depth_loss)
+        return loss
+
+    jl, jgrads = jax.value_and_grad(jax_loss)(params)
+    twin.requires_grad_()
+    tl, _ = twin.loss(images, gb, batch, depth_loss=depth_loss)
+    tl.backward()
+
+    np.testing.assert_allclose(float(jl), float(tl), **LOSS_TOL)
+    jflat = flatten_params(jax.device_get(jgrads))
+    tflat = flatten_params(twin.grads_flax())
+    for k in sorted(jflat):
+        np.testing.assert_allclose(np.asarray(jflat[k]), tflat[k],
+                                   err_msg=f"grad {k!r}", **GRAD_TOL)
