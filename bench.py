@@ -82,6 +82,53 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
     return edges * iters / best
 
 
+def bench_partitioned_local(ops_impl: str, V, E, D, dk, iters,
+                            bf16: bool = True) -> float:
+    """Per-chip throughput of the PARTITIONED edge block's local path
+    (parallel/fused.py) on a 1-device graph mesh: all edges local, halo
+    no-ops — measures what each shard of config 5 sustains between
+    exchanges. The pallas backend routes the local aggregate through the
+    tile-block-sparse SpMM kernel."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.ops import dispatch
+    from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+    from mrp_gnn_tpu.parallel.partition import partition_graph
+
+    scenes, robots = V // 8, 8
+    gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
+    gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)  # sparse league
+    plan = partition_graph(gb, 1)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "graph"))
+    ops = dispatch.get_ops(ops_impl)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    v = jax.device_put(
+        jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)).astype(dtype),
+        NamedSharding(mesh, P(("data", "graph"))))
+
+    def chained(q, k, v):
+        def body(v, _):
+            return edge_fn(ops, "attention", q, k, v, gb).astype(v.dtype), ()
+        return jax.lax.scan(body, v, None, length=iters)[0]
+
+    fn = jax.jit(chained)
+    jax.block_until_ready(fn(q, k, v))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    return int(np.asarray(gb.n_edges)) * iters / best
+
+
 def measure_stream_bw(V: int, D: int, iters: int) -> float:
     """Empirical HBM stream bandwidth (bytes/s) via a chained row-permute.
 
@@ -142,6 +189,17 @@ def main():
             log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
         except Exception as e:
             log(f"{name}: unavailable ({type(e).__name__}: {e})")
+
+    # Diagnostics: the partitioned (config 5) edge block's per-chip local
+    # path — the rate each shard sustains between boundary exchanges.
+    for impl in ("xla", "pallas"):
+        try:
+            eps = bench_partitioned_local(impl, V, E, D, dk, args.iters,
+                                          bf16=True)
+            log(f"partitioned_local_{impl}_bf16: {eps:,.0f} edges/s")
+        except Exception as e:
+            log(f"partitioned_local_{impl}_bf16: unavailable "
+                f"({type(e).__name__}: {e})")
 
     # Roofline from MEASURED stream bandwidth (the axon-tunneled chip
     # delivers far below the v5e spec sheet's 819 GB/s — see

@@ -27,6 +27,9 @@ class EdgeOps:
     # (q, k, values, graph) -> msg and (values, graph) -> msg.
     ell_attention: Callable | None = None
     ell_mean: Callable | None = None
+    # Backend tag ("xla" | "pallas") — lets composite paths (e.g. the
+    # partitioned fusion's local aggregate) pick backend-specific kernels.
+    impl: str = "xla"
 
 
 def _compose_ell_attention(sddmm_fn, softmax_fn, spmm_fn):
@@ -84,7 +87,7 @@ def _pallas_ops() -> EdgeOps:
 
     return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
                    P.block_fused_attention, R.block_mean_agg,
-                   ell_attention, ell_mean)
+                   ell_attention, ell_mean, impl="pallas")
 
 
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}

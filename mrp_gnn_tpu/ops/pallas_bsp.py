@@ -46,6 +46,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _out_vma(*xs) -> frozenset:
+    """Union of the operands' varying-manual-axes: inside a check_vma=True
+    shard_map, pallas_call out_shapes must declare how the output varies."""
+    vma = set()
+    for x in xs:
+        vma |= set(getattr(jax.typeof(x), "vma", None) or ())
+    return frozenset(vma)
+
+
+def _sds(shape, dtype, vma: frozenset):
+    return (jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma
+            else jax.ShapeDtypeStruct(shape, dtype))
+
+
 # --- kernel 1: fused SDDMM + segment softmax --------------------------------
 
 
@@ -118,7 +132,8 @@ def _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
     return pl.pallas_call(
         _weights_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((V, deg), jnp.float32),
+        out_shape=_sds((V, deg), jnp.float32,
+                       _out_vma(q, k, ell_src, ell_mask)),
         interpret=interpret,
     )(pd, ps, fi, la, q, k, ell_src, ell_mask)
 
@@ -232,7 +247,8 @@ def _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
     out = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((V, D), values.dtype),
+        out_shape=_sds((V, D), values.dtype,
+                       _out_vma(alpha, values, ell_src)),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_pairs * T * T * D,
             bytes_accessed=(num_pairs * T * D + V * D) * values.dtype.itemsize,

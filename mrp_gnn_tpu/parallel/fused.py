@@ -38,6 +38,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mrp_gnn_tpu.graph import GraphBatch
+from mrp_gnn_tpu.ops import reference as R
+from mrp_gnn_tpu.ops.reference import _NEG
 from mrp_gnn_tpu.parallel.partition import EdgePartitionPlan
 
 
@@ -79,61 +81,106 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 return jnp.zeros((1, x_loc.shape[-1]), x_loc.dtype)
             return jnp.concatenate(parts, axis=0)
 
-        def shard_fn(q_loc, k_loc, v_loc, src_g, dst_l, emask, lmask,
-                     sidx, rslot):
+        def shard_fn(q_loc, k_loc, v_loc, sidx, r_dst, r_srcg, r_slot, r_mask,
+                     ell_s, ell_m, *bsp):
             # Leading plan axis is the shard dim mapped by shard_map -> [1, .].
-            src_g, dst_l = src_g[0], dst_l[0]
-            emask, lmask = emask[0], lmask[0]
-            sidx, rslot = sidx[0], rslot[0]          # [sum B_d], [E]
-            shard = jax.lax.axis_index("graph")
-            src_local = jnp.clip(src_g - shard * nps, 0, nps - 1)
-            rmask = emask & ~lmask
+            sidx = sidx[0]                                        # [sum B_d]
+            r_dst, r_srcg = r_dst[0], r_srcg[0]                   # [E_r]
+            r_slot, rmask = r_slot[0], r_mask[0]                  # [E_r]
+            ell_s, ell_m = ell_s[0], ell_m[0]                     # [nps, L]
+            bsp = tuple(b[0] for b in bsp)                        # pairs x4
 
-            # --- attention weights (keys are tiny: [V, d_att] << values) ----
+            # Local edges ride the per-shard ELL layout (regular gathers /
+            # Pallas tile kernels — the bulk of a radius swarm); only the
+            # boundary remainder stays on the edge-list scatter path.
+            # Attention weights come from ONE softmax split across both sets
+            # (shared per-row max and normalizer), so the result is exactly
+            # the unpartitioned segment softmax.
             if aggregation == "attention":
+                inv_sqrt = 1.0 / np.sqrt(q_loc.shape[-1])
+                lg_l = R.ell_sddmm(q_loc, k_loc, ell_s, ell_m) * inv_sqrt
+                lg_l = jnp.where(ell_m, lg_l, _NEG)             # [nps, L]
                 if exchange == "boundary":
                     k_remote = halo(k_loc, sidx)
-                    k_edge = jnp.where(lmask[:, None], k_loc[src_local],
-                                       k_remote[rslot])
+                    k_edge = k_remote[r_slot]
                 else:
                     k_all = jax.lax.all_gather(k_loc, "graph", tiled=True)
-                    k_edge = k_all[src_g]
-                logits = jnp.einsum("ed,ed->e", q_loc[dst_l], k_edge)
-                logits = logits / np.sqrt(q_loc.shape[-1])
-                alpha = ops.segment_softmax(logits, dst_l, nps, emask)
+                    k_edge = k_all[r_srcg]
+                lg_r = jnp.einsum("ed,ed->e", q_loc[r_dst], k_edge) * inv_sqrt
+                lg_r = jnp.where(rmask, lg_r, _NEG)             # [E_r]
+
+                m_l = jnp.max(lg_l, axis=-1)                    # [nps]
+                m_r = jax.ops.segment_max(lg_r, r_dst, num_segments=nps)
+                mx = jnp.maximum(jnp.maximum(m_l, m_r), _NEG / 2)
+                mx = jax.lax.stop_gradient(mx)
+                e_l = jnp.where(ell_m, jnp.exp(lg_l - mx[:, None]), 0.0)
+                e_r = jnp.where(rmask, jnp.exp(lg_r - mx[r_dst]), 0.0)
+                denom = (e_l.sum(-1)
+                         + jax.ops.segment_sum(e_r, r_dst, num_segments=nps))
+                denom = jnp.where(denom > 0, denom, 1.0)
+                alpha_l = e_l / denom[:, None]                  # [nps, L]
+                alpha_r = e_r / denom[r_dst]                    # [E_r]
             elif aggregation == "mean":
-                deg = jax.ops.segment_sum(emask.astype(v_loc.dtype), dst_l,
-                                          num_segments=nps)
-                alpha = (1.0 / jnp.maximum(deg, 1.0))[dst_l]
+                deg = (ell_m.sum(-1).astype(v_loc.dtype)
+                       + jax.ops.segment_sum(rmask.astype(v_loc.dtype), r_dst,
+                                             num_segments=nps))
+                inv = 1.0 / jnp.maximum(deg, 1.0)
+                alpha_l = jnp.broadcast_to(inv[:, None], ell_m.shape) * ell_m
+                alpha_r = inv[r_dst]
             else:
                 raise ValueError(f"unknown aggregation {aggregation!r}")
+
+            def agg_local_fn(v):
+                w = alpha_l.astype(jnp.float32)
+                if bsp:
+                    # Pallas backend: the shard-local aggregate (the bulk of
+                    # the bytes) rides the tile-block-sparse SpMM kernel —
+                    # whole-tile sequential DMAs + one-hot MXU selection
+                    # (ops/pallas_bsp.py), same plan protocol, per shard.
+                    from mrp_gnn_tpu.ops.pallas_bsp import (_bsp_spmm,
+                                                            _interpret)
+                    # softmax/mean weights are exactly 0 on masked slots
+                    return _bsp_spmm(w * ell_m, v, ell_s, *bsp,
+                                     plan.bsp_tile, _interpret())
+                return R.ell_aggregate(w, v, ell_s, ell_m, "sum")
 
             # --- value exchange + two-partial aggregation -------------------
             # overlap=True: the collective is issued first with no data
             # dependence on the local partial, so XLA overlaps it with the
-            # local SpMM. overlap=False: optimization_barrier forces the
+            # local aggregate. overlap=False: optimization_barrier forces the
             # local values (and thus the send gather + collective) to wait
             # for agg_local — the serialized control.
             if exchange == "boundary":
                 if overlap:
                     v_remote = halo(v_loc, sidx)
-                    agg_local = ops.spmm(alpha, v_loc, src_local, dst_l, nps,
-                                         lmask)
+                    agg_local = agg_local_fn(v_loc)
                 else:
-                    agg_local = ops.spmm(alpha, v_loc, src_local, dst_l, nps,
-                                         lmask)
+                    agg_local = agg_local_fn(v_loc)
                     v_gate, agg_local = jax.lax.optimization_barrier(
                         (v_loc, agg_local))
                     v_remote = halo(v_gate, sidx)
-                agg_remote = ops.spmm(alpha, v_remote, rslot, dst_l, nps,
+                agg_remote = ops.spmm(alpha_r, v_remote, r_slot, r_dst, nps,
                                       rmask)
             else:
                 v_all = jax.lax.all_gather(v_loc, "graph", tiled=True)
-                agg_local = ops.spmm(alpha, v_loc, src_local, dst_l, nps,
-                                     lmask)
-                agg_remote = ops.spmm(alpha, v_all, src_g, dst_l, nps, rmask)
+                agg_local = agg_local_fn(v_loc)
+                agg_remote = ops.spmm(alpha_r, v_all, r_srcg, r_dst, nps,
+                                      rmask)
             return agg_local + agg_remote
 
+        # Pallas backend + a tile plan: ship the per-shard BSP pair arrays so
+        # the local aggregate runs on the block-sparse kernel. Compiled
+        # backends only: pallas interpret mode cannot mix shard-varying
+        # scalar-prefetch (the per-shard pair plan) with grid indices under
+        # check_vma, so the CPU simulation falls back to the ELL gather path
+        # (same math, XLA ops).
+        from mrp_gnn_tpu.ops.pallas_bsp import _interpret
+        use_bsp = (getattr(ops, "impl", "xla") == "pallas"
+                   and plan.bsp_tile > 0 and plan.bsp_pair_dst is not None
+                   and not _interpret())
+        bsp_args = ((plan.bsp_pair_dst, plan.bsp_pair_src,
+                     plan.bsp_pair_first, plan.bsp_pair_last)
+                    if use_bsp else ())
         sharded = jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -141,16 +188,18 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 P(("data", "graph")),  # q (or placeholder)
                 P(("data", "graph")),  # k (or placeholder)
                 P(("data", "graph")),  # flat values
-                P("graph"), P("graph"), P("graph"), P("graph"),  # edge plan
-                P("graph"), P("graph"),                          # exchange plan
-            ),
+                P("graph"),                                      # send plan
+                P("graph"), P("graph"), P("graph"), P("graph"),  # remote edges
+                P("graph"), P("graph"),                          # local ELL
+            ) + (P("graph"),) * len(bsp_args),                   # BSP pairs
             out_specs=P(("data", "graph")),
         )
         if q is None:  # mean aggregation carries no attention vectors
             q = jnp.zeros((flat_values.shape[0], 1), flat_values.dtype)
             k = q
-        return sharded(q, k, flat_values, plan.src_global, plan.dst_local,
-                       plan.mask, plan.local_mask, plan.send_idx,
-                       plan.remote_slot)
+        return sharded(q, k, flat_values, plan.send_idx, plan.remote_dst,
+                       plan.remote_src_global, plan.remote_slot,
+                       plan.remote_mask, plan.ell_src, plan.ell_mask,
+                       *bsp_args)
 
     return edge_fn

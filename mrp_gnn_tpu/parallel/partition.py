@@ -39,8 +39,12 @@ from mrp_gnn_tpu.graph import GraphBatch
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["src_global", "dst_local", "mask", "local_mask",
-                      "send_idx", "remote_slot"],
-         meta_fields=["num_shards", "nodes_per_shard", "deltas", "delta_rows"])
+                      "send_idx", "remote_dst", "remote_src_global",
+                      "remote_slot", "remote_mask", "ell_src", "ell_mask",
+                      "bsp_pair_dst", "bsp_pair_src", "bsp_pair_first",
+                      "bsp_pair_last"],
+         meta_fields=["num_shards", "nodes_per_shard", "deltas", "delta_rows",
+                      "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
 class EdgePartitionPlan:
     """Per-shard padded edge lists, stacked on a leading shard axis.
@@ -49,6 +53,20 @@ class EdgePartitionPlan:
     dst_local:  int32 [P, E_s] destination slot local to the owning shard.
     mask:       bool  [P, E_s] slot validity.
     local_mask: bool  [P, E_s] valid AND source resident on this shard.
+
+    Local-edge ELL layout (the per-shard fast path — local edges are the
+    bulk of a radius swarm, and the ELL neighbour-list form aggregates via
+    regular gathers / the tile-block-sparse Pallas kernels instead of
+    edge-list scatter-adds):
+
+    ell_src:  int32 [P, nps, L] shard-LOCAL source slot of each local
+              in-edge of each local destination row (0-padded).
+    ell_mask: bool  [P, nps, L] slot validity.
+
+    bsp_*: per-shard tile-pair plans for the block-sparse Pallas SpMM
+    (ops/pallas_bsp.py), stacked and padded to a common pair count with
+    inert (dst=0, src=0, first=0, last=0) tail pairs. bsp_tile = 0 when no
+    MXU-friendly tile divides nodes_per_shard.
 
     Boundary-exchange plan (the contract's "boundary robot features exchanged
     all-to-all over ICI", BASELINE.json:5), as per-delta halo rings:
@@ -61,10 +79,16 @@ class EdgePartitionPlan:
     send_idx:    int32 [P, sum(B_d)]. send_idx[s, off_d : off_d + B_d] =
                  sender-LOCAL row indices shard s ships along delta d
                  (0-padded) — i.e. the rows shard (s+d)%P requested from s.
-    remote_slot: int32 [P, E_s]. For a boundary edge, the index of its source
-                 row in the per-shard receive buffer (concat over deltas in
-                 ``deltas`` order); 0 for local / padded edges (masked out
-                 downstream).
+
+    Compact remote (boundary) edge arrays — the edge-list scatter path only
+    runs over these, so its cost is O(boundary edges), not O(E_s):
+
+    remote_dst:        int32 [P, E_r] local destination of each boundary edge.
+    remote_src_global: int32 [P, E_r] global source (for the all_gather mode).
+    remote_slot:       int32 [P, E_r] index of the edge's source row in the
+                       per-shard receive buffer (concat over deltas in
+                       ``deltas`` order).
+    remote_mask:       bool  [P, E_r] slot validity.
     """
 
     src_global: jax.Array
@@ -72,11 +96,21 @@ class EdgePartitionPlan:
     mask: jax.Array
     local_mask: jax.Array
     send_idx: jax.Array
+    remote_dst: jax.Array
+    remote_src_global: jax.Array
     remote_slot: jax.Array
+    remote_mask: jax.Array
+    ell_src: jax.Array
+    ell_mask: jax.Array
+    bsp_pair_dst: jax.Array | None
+    bsp_pair_src: jax.Array | None
+    bsp_pair_first: jax.Array | None
+    bsp_pair_last: jax.Array | None
     num_shards: int
     nodes_per_shard: int
     deltas: tuple
     delta_rows: tuple
+    bsp_tile: int
 
     @property
     def edges_per_shard(self) -> int:
@@ -129,6 +163,26 @@ def partition_graph(graph: GraphBatch, num_shards: int,
         m[p, :k] = True
         lm[p, :k] = (s // nps) == p
 
+    # --- local-edge ELL layout (per shard, shard-local coordinates) ----------
+    # Width = max local in-degree over all shards' rows, padded; 8-aligned so
+    # the tile-block-sparse kernels get lane-friendly shapes.
+    max_deg = 1
+    for p in range(P):
+        row = dst_l[p][m[p] & lm[p]]
+        if row.size:
+            max_deg = max(max_deg, int(np.bincount(row).max()))
+    L = _round_up(max_deg, pad_multiple)
+    ell_src = np.zeros((P, nps, L), np.int32)
+    ell_mask = np.zeros((P, nps, L), bool)
+    for p in range(P):
+        sel = m[p] & lm[p]
+        rows, srcs = dst_l[p][sel], src_g[p][sel] - p * nps
+        fill = np.zeros(nps, np.int32)
+        for r, sl in zip(rows, srcs):   # dst-sorted order preserved per row
+            ell_src[p, r, fill[r]] = sl
+            ell_mask[p, r, fill[r]] = True
+            fill[r] += 1
+
     # --- boundary-exchange plan ---------------------------------------------
     # requests[p][r] = sorted unique GLOBAL rows shard p needs from shard r.
     requests = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
@@ -176,17 +230,57 @@ def partition_graph(graph: GraphBatch, num_shards: int,
             view[em] = (delta_off[d]
                         + np.searchsorted(need, s[em])).astype(np.int32)
 
+    # --- compact remote (boundary) edge arrays --------------------------------
+    r_counts = (m & ~lm).sum(axis=1)
+    Er = max(_round_up(int(r_counts.max()), pad_multiple), pad_multiple)
+    remote_dst = np.zeros((P, Er), np.int32)
+    remote_src_g = np.zeros((P, Er), np.int32)
+    remote_slot_c = np.zeros((P, Er), np.int32)
+    remote_mask_c = np.zeros((P, Er), bool)
+    for p in range(P):
+        sel = m[p] & ~lm[p]
+        kk = int(sel.sum())
+        remote_dst[p, :kk] = dst_l[p][sel]
+        remote_src_g[p, :kk] = src_g[p][sel]
+        remote_slot_c[p, :kk] = rslot[p][sel]
+        remote_mask_c[p, :kk] = True
+
+    # --- per-shard tile-pair plans for the block-sparse Pallas SpMM ----------
+    from mrp_gnn_tpu.graph import build_bsp_pairs
+    bsp_tile = next((t for t in (128, 64, 32, 16, 8) if nps % t == 0), 0)
+    bsp = {"bsp_pair_dst": None, "bsp_pair_src": None,
+           "bsp_pair_first": None, "bsp_pair_last": None}
+    if bsp_tile:
+        per = [tuple(np.asarray(a) for a in
+                     build_bsp_pairs(ell_src[p], ell_mask[p], bsp_tile))
+               for p in range(P)]
+        pmax = max(x[0].size for x in per)
+        stacked = []
+        for i in range(4):
+            arr = np.zeros((P, pmax), np.int32)  # inert tail pairs
+            for p in range(P):
+                arr[p, :per[p][i].size] = per[p][i]
+            stacked.append(jnp.asarray(arr))
+        bsp = dict(zip(bsp.keys(), stacked))
+
     return EdgePartitionPlan(
         src_global=jnp.asarray(src_g),
         dst_local=jnp.asarray(dst_l),
         mask=jnp.asarray(m),
         local_mask=jnp.asarray(lm),
         send_idx=jnp.asarray(send_idx),
-        remote_slot=jnp.asarray(rslot),
+        remote_dst=jnp.asarray(remote_dst),
+        remote_src_global=jnp.asarray(remote_src_g),
+        remote_slot=jnp.asarray(remote_slot_c),
+        remote_mask=jnp.asarray(remote_mask_c),
+        ell_src=jnp.asarray(ell_src),
+        ell_mask=jnp.asarray(ell_mask),
         num_shards=P,
         nodes_per_shard=nps,
         deltas=tuple(deltas),
         delta_rows=tuple(delta_rows),
+        bsp_tile=bsp_tile,
+        **bsp,
     )
 
 

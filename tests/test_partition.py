@@ -44,6 +44,37 @@ def test_partition_plan_structure():
     assert boundary_fraction(plan) > 0.5
 
 
+def test_partition_plan_ell_and_remote_layouts():
+    """Round-2 layouts: local edges land in the per-shard ELL neighbour list
+    (+ BSP tile-pair plan), boundary edges in the COMPACT remote edge list —
+    together they must account for exactly the original edge set."""
+    gb = batch_homogeneous(2, 16, radius_edges(16, 3))
+    plan = partition_graph(gb, 4)
+    nps = plan.nodes_per_shard
+    src = np.asarray(plan.src_global)
+    m = np.asarray(plan.mask)
+    lm = np.asarray(plan.local_mask)
+    ell_s = np.asarray(plan.ell_src)
+    ell_m = np.asarray(plan.ell_mask)
+    r_m = np.asarray(plan.remote_mask)
+    # local + remote slot counts == valid edge count, per shard
+    for p in range(plan.num_shards):
+        assert ell_m[p].sum() == (m[p] & lm[p]).sum()
+        assert r_m[p].sum() == (m[p] & ~lm[p]).sum()
+        # ELL entries are shard-local and reproduce the local multiset
+        assert (ell_s[p][ell_m[p]] >= 0).all()
+        assert (ell_s[p][ell_m[p]] < nps).all()
+        want = np.sort(src[p][m[p] & lm[p]] - p * nps)
+        got = np.sort(ell_s[p][ell_m[p]])
+        np.testing.assert_array_equal(got, want)
+        # remote slots point inside the receive buffer
+        r_slot = np.asarray(plan.remote_slot)[p][r_m[p]]
+        assert (r_slot >= 0).all() and (r_slot < plan.recv_rows).all()
+    # a BSP tile plan exists whenever an MXU-friendly tile divides nps
+    assert plan.bsp_tile > 0
+    assert plan.bsp_pair_dst.shape[0] == plan.num_shards
+
+
 def test_partition_requires_divisible_nodes():
     gb = batch_fully_connected(1, 5)
     with pytest.raises(ValueError):
