@@ -218,11 +218,13 @@ def build_graph_batch(
     max_deg = max(_round_up_int(int(deg.max()) if deg.size else 1, 8), 8)
     ell_src = np.zeros((max_nodes, max_deg), np.int32)
     ell_mask = np.zeros((max_nodes, max_deg), bool)
-    slot = np.zeros(max_nodes, np.int64)
-    for s, d in zip(src, dst):
-        ell_src[d, slot[d]] = s
-        ell_mask[d, slot[d]] = True
-        slot[d] += 1
+    if n_edges:
+        # dst is sorted; slot = edge rank within its destination segment
+        # (vectorized: edge position minus the segment's first position).
+        starts = np.searchsorted(dst, np.arange(max_nodes))
+        slot = np.arange(dst.size) - starts[dst]
+        ell_src[dst, slot] = src
+        ell_mask[dst, slot] = True
 
     # Tile-pair plan for the block-sparse fused kernels. 128 (the MXU/VPU
     # lane width) beat 256 in the chip sweep: the one-hot A build is

@@ -177,11 +177,14 @@ def partition_graph(graph: GraphBatch, num_shards: int,
     for p in range(P):
         sel = m[p] & lm[p]
         rows, srcs = dst_l[p][sel], src_g[p][sel] - p * nps
-        fill = np.zeros(nps, np.int32)
-        for r, sl in zip(rows, srcs):   # dst-sorted order preserved per row
-            ell_src[p, r, fill[r]] = sl
-            ell_mask[p, r, fill[r]] = True
-            fill[r] += 1
+        if rows.size == 0:
+            continue
+        # rows arrive dst-sorted; slot index = rank within the row
+        # (vectorized: edge position minus its row's first position).
+        starts = np.searchsorted(rows, np.arange(nps))
+        slot = np.arange(rows.size) - starts[rows]
+        ell_src[p, rows, slot] = srcs
+        ell_mask[p, rows, slot] = True
 
     # --- boundary-exchange plan ---------------------------------------------
     # requests[p][r] = sorted unique GLOBAL rows shard p needs from shard r.
