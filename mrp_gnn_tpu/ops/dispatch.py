@@ -70,11 +70,12 @@ def _pallas_ops() -> EdgeOps:
                                                   PE.ell_softmax, PE.ell_spmm)
 
     def ell_attention(q, k, values, graph):
-        # Tile-block-sparse fused kernels when the batch carries a pair
-        # plan (sequential whole-tile DMAs + one-hot MXU selection); the
-        # per-row-DMA ELL kernels remain as the general fallback.
+        # One-pass tile-block-sparse fused kernel when the batch carries a
+        # pair plan (sequential whole-tile DMAs + one-hot MXU selection +
+        # online softmax, alpha never visits HBM); the per-row-DMA ELL
+        # kernels remain as the general fallback.
         if B.supports(graph):
-            return B.bsp_attention(q, k, values, graph)
+            return B.bsp_attention_fused(q, k, values, graph)
         return legacy_ell_attention(q, k, values, graph)
 
     def ell_mean(values, graph):

@@ -283,6 +283,174 @@ def _bsp_spmm_bwd(T, interpret, res, g):
 _bsp_spmm.defvjp(_bsp_spmm_fwd, _bsp_spmm_bwd)
 
 
+# --- kernel 3: one-pass fused attention (online softmax) ---------------------
+#
+# SDDMM + softmax + SpMM in a single sweep over the tile-pair plan. Where the
+# two-kernel path builds the one-hot selection matrix twice (once per kernel)
+# and round-trips alpha through HBM, this kernel keeps a flash-attention-style
+# running (max, denominator, accumulator) triple in VMEM scratch across each
+# destination tile's pair group and rescales on the fly — logits never leave
+# the chip, each (pair, feature-tile) step touches HBM only for the one
+# whole-tile value DMA.
+
+
+def _fused_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                  q_ref, k_ref, src_ref, mask_ref, v_ref, out_ref,
+                  acc_ref, m_ref, l_ref):
+    """Grid (feature tiles, pairs) — pairs fastest, grouped by dst tile.
+
+    q_ref [Tv, dk] (dst tile, pre-scaled by 1/sqrt(dk)), k_ref [Ts, dk]
+    (src tile), src_ref/mask_ref [Tv, deg] ELL columns, v_ref [Ts, Tf]
+    source values; scratch: acc [Tv, Tf] f32 weighted sum, m/l [Tv, 128]
+    f32 running max / softmax denominator (column 0 is live; the full lane
+    width keeps the layout tile-aligned).
+    """
+    p = pl.program_id(1)
+    Ts = k_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+
+    # Q @ K_tile^T on the MXU: qk[v, c] IS the logit of edge (c+base -> v)
+    # whenever that edge exists; existence/multiplicity comes from E below.
+    qk = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [Tv, Ts]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+    maskf = (mask_ref[:] > 0).astype(jnp.float32)
+
+    # E[v, c] = multiplicity of edge (c+base -> v) among the VALID ELL slots
+    # (duplicate edges sum correctly; masked slots contribute nothing).
+    E = jnp.zeros((Tv, Ts), jnp.float32)
+    for j in range(deg):  # static unroll over ELL columns
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        mj = jnp.sum(jnp.where(dcol == j, maskf, 0.0), axis=1, keepdims=True)
+        E = E + mj * (col == srcj).astype(jnp.float32)
+
+    first = first_ref[p] == 1
+    m_old = jnp.where(first, jnp.full((Tv, 1), _NEG, jnp.float32),
+                      m_ref[:, :1])
+    l_old = jnp.where(first, jnp.zeros((Tv, 1), jnp.float32), l_ref[:, :1])
+    acc_old = jnp.where(first, jnp.zeros_like(acc_ref),
+                        acc_ref[:])
+
+    qk_m = jnp.where(E > 0, qk, _NEG)
+    m_new = jnp.maximum(m_old, jnp.max(qk_m, axis=-1, keepdims=True))
+    mg = jnp.maximum(m_new, _NEG / 2)  # guard: rows with no edges anywhere
+    a = jnp.exp(qk_m - mg) * E                       # [Tv, Ts]
+    scale = jnp.exp(m_old - mg)                      # [Tv, 1]
+    l_new = l_old * scale + jnp.sum(a, axis=-1, keepdims=True)
+    prec = (jax.lax.Precision.DEFAULT
+            if jnp.dtype(v_ref.dtype).name == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+    contrib = jnp.dot(a.astype(v_ref.dtype), v_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=prec)                # [Tv, Tf]
+    acc_new = acc_old * scale + contrib
+
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    acc_ref[:] = acc_new
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out_ref[:] = jnp.where(l_new > 0, acc_new / jnp.maximum(l_new, 1e-30),
+                               0.0).astype(out_ref.dtype)
+
+
+def _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
+                   interpret):
+    values, D_orig = _pad_lanes(values)
+    V, D = values.shape
+    dk = q.shape[1]
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    Tf = _pick_feat_tile(D, interpret)
+    mask_i = ell_mask.astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(D // Tf, num_pairs),
+        in_specs=[
+            pl.BlockSpec((T, dk), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # q (dst tile)
+            pl.BlockSpec((T, dk), lambda f, p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # k (src tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_mask tile
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (ps[p], f),
+                         memory_space=pltpu.VMEM),     # values (src tile)
+        ],
+        out_specs=pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la:
+                               (pd[p], f), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, Tf), jnp.float32),
+                        pltpu.VMEM((T, 128), jnp.float32),
+                        pltpu.VMEM((T, 128), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((V, D), values.dtype,
+                       _out_vma(q, k, ell_src, ell_mask, values)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * (T * D + T * dk),
+            bytes_accessed=(num_pairs * T * D + V * D) * values.dtype.itemsize,
+            transcendentals=num_pairs * T * T,
+        ),
+        interpret=interpret,
+    )(pd, ps, fi, la, q, k, ell_src, mask_i, values)
+    return out[:, :D_orig] if D_orig != D else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _bsp_fused(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+    return _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
+                          interpret)
+
+
+def _bsp_fused_fwd(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
+                   interpret):
+    out = _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
+                         interpret)
+    return out, (q, k, values, ell_src, ell_mask)
+
+
+def _bsp_fused_bwd(T, interpret, res, g):
+    """Equivalent XLA math (gathers + scatter-adds); forward owns the bytes.
+
+    Recomputes alpha — cheaper in HBM traffic than saving [V, deg] from the
+    kernel would be complicated by the fused structure, and the recompute is
+    three small gathers at deg << V."""
+    q, k, values, src, mask_i = res
+    mask = mask_i > 0
+    kg = k[src]                                            # [V, deg, dk]
+    logits = jnp.einsum("vd,vjd->vj", q, kg)
+    x = jnp.where(mask, logits, _NEG)
+    mx = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+
+    # SpMM backward
+    dalpha = jnp.einsum("vd,vjd->vj", g.astype(jnp.float32),
+                        values[src].astype(jnp.float32))
+    dvalues = jnp.zeros_like(values).at[src].add(
+        alpha[..., None].astype(values.dtype) * g[:, None, :].astype(values.dtype))
+    # softmax backward
+    dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
+    dlog = jnp.where(mask, dlog, 0.0)
+    # SDDMM backward
+    dq = jnp.einsum("vj,vjd->vd", dlog, kg)
+    dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
+    return (dq.astype(q.dtype), dk_.astype(k.dtype), dvalues,
+            None, None, None, None, None, None)
+
+
+_bsp_fused.defvjp(_bsp_fused_fwd, _bsp_fused_bwd)
+
+
 # --- public entry ------------------------------------------------------------
 
 
@@ -312,11 +480,13 @@ def bsp_mean(values: jax.Array, graph) -> jax.Array:
 
 def bsp_attention(q: jax.Array, k: jax.Array, values: jax.Array,
                   graph) -> jax.Array:
-    """Fused edge attention over the tile-pair plan.
+    """Fused edge attention over the tile-pair plan (two-kernel form).
 
     Drop-in for the ELL attention composition (dispatch._compose_ell_attention
     semantics): logits scaled by 1/sqrt(dk), masked segment softmax over each
     destination's in-edges, attention-weighted aggregation of source values.
+    Kept alongside :func:`bsp_attention_fused` because the partitioned path
+    (parallel/fused.py) needs the explicit alpha for its split softmax.
     """
     interpret = _interpret()
     scale = 1.0 / np.sqrt(q.shape[-1])
@@ -328,3 +498,17 @@ def bsp_attention(q: jax.Array, k: jax.Array, values: jax.Array,
                          pd, ps, fi, la, graph.bsp_tile, interpret)
     return _bsp_spmm(alpha, values, graph.ell_src, pd, ps, fi, la,
                      graph.bsp_tile, interpret)
+
+
+def bsp_attention_fused(q: jax.Array, k: jax.Array, values: jax.Array,
+                        graph) -> jax.Array:
+    """One-pass fused edge attention: SDDMM + online softmax + SpMM in a
+    single sweep over the tile-pair plan (kernel 3). Same semantics as
+    :func:`bsp_attention`; alpha never visits HBM and the one-hot selection
+    build runs once per pair instead of twice."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    return _bsp_fused(q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+                      values, graph.ell_src, graph.ell_mask,
+                      graph.bsp_pair_dst, graph.bsp_pair_src,
+                      graph.bsp_pair_first, graph.bsp_pair_last,
+                      graph.bsp_tile, _interpret())

@@ -60,6 +60,51 @@ def test_bsp_gradients_match_oracle():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_bsp_fused_one_pass_matches_oracle(name):
+    gb = GRAPHS[name]()
+    q, k, v = _rand(gb)
+    got = B.bsp_attention_fused(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_fused_one_pass_gradients():
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    q, k, v = _rand(gb)
+    g_fused = jax.grad(
+        lambda q, k, v: jnp.sum(B.bsp_attention_fused(q, k, v, gb) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bsp_fused_one_pass_padding_and_empty_rows():
+    """Padded node slots and zero-in-degree rows emit exactly zero."""
+    gb = batch_fully_connected(2, 8, max_nodes=32)
+    q, k, v = _rand(gb)
+    out = B.bsp_attention_fused(q, k, v, gb)
+    np.testing.assert_array_equal(np.asarray(out[16:]), 0.0)
+    small = batch_fully_connected(2, 8)
+    out_small = B.bsp_attention_fused(q[:16], k[:16], v[:16], small)
+    np.testing.assert_allclose(np.asarray(out[:16]), np.asarray(out_small),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_fused_bf16_values():
+    gb = batch_fully_connected(2, 8)
+    q, k, v = _rand(gb, D=256)
+    vb = v.astype(jnp.bfloat16)
+    got = B.bsp_attention_fused(q, k, vb, gb).astype(jnp.float32)
+    want = _ell_oracle(q, k, vb.astype(jnp.float32), gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_bsp_mean_matches_oracle():
     gb = batch_fully_connected(2, 8)
     _, _, v = _rand(gb)
