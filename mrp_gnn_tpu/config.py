@@ -65,6 +65,15 @@ class DataConfig:
     # each scene — models unreliable teammates; learned edge attention
     # should down-weight degraded senders where mean aggregation cannot.
     degraded_fraction: float = 0.0
+    # Per-scene robot position jitter in robot-index units (adjacent nominal
+    # slots are 1 apart, matching comm_radius). > 0 with radius connectivity
+    # switches to DYNAMIC TOPOLOGY: the communication graph is rebuilt per
+    # batch from the scene's actual robot positions (static array capacities
+    # keep it one jit compile). Synthetic data only.
+    mobility: float = 0.0
+    # Host-side plan builder for dynamic batches: "auto" (native C++ when
+    # buildable — native/graphbuild.cc — else numpy), "native", "numpy".
+    graph_builder: str = "auto"
     # Background prefetch depth for the batch pipeline (0 = synchronous).
     prefetch: int = 2
     # Input pipeline: "builtin" (thread-prefetched BatchIterator) or
@@ -219,12 +228,33 @@ def _preset_swarm_partitioned() -> ExperimentConfig:
     )
 
 
+def _preset_dynamic_swarm() -> ExperimentConfig:
+    """Beyond the 5 contract configs: 32-robot swarms whose robots DRIFT per
+    scene, so the communication-radius graph changes every batch (the
+    realistic mobile-swarm regime). The graph plan is rebuilt per batch on
+    the host (native C++ builder when available) under static capacities —
+    one jit compile serves the whole stream; the Pallas tile-block-sparse
+    kernels run on capacity-padded pair plans."""
+    return ExperimentConfig(
+        name="dynamic_swarm",
+        model=ModelConfig(image_size=(64, 64), encoder_channels=(32, 64, 128),
+                          fusion="attention", num_fusion_layers=1,
+                          num_seg_classes=6),
+        data=DataConfig(num_robots=32, scenes_per_batch=8, image_size=(64, 64),
+                        num_seg_classes=6, connectivity="radius",
+                        comm_radius=4, mobility=1.5),
+        train=TrainConfig(steps=1000, seg_loss_weight=0.5),
+        parallel=ParallelConfig(ops_impl="pallas"),
+    )
+
+
 PRESETS = {
     "single_robot_depth": _preset_single_robot_depth,
     "two_robot_mean": _preset_two_robot_mean,
     "five_robot_attention": _preset_five_robot_attention,
     "multitask_batched": _preset_multitask_batched,
     "swarm_partitioned": _preset_swarm_partitioned,
+    "dynamic_swarm": _preset_dynamic_swarm,
 }
 
 

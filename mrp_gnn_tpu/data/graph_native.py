@@ -1,0 +1,170 @@
+"""ctypes bridge to the native C++ graph-plan builder (native/graphbuild.cc).
+
+Dynamic-topology batches (DataConfig.mobility > 0) rebuild the GraphBatch
+every step; at swarm scale that host work sits on the input-pipeline
+critical path, so it gets a native implementation alongside the renderer
+(data/native.py). Built on first use with g++ (cached .so next to the
+source); plain C ABI + ctypes — no pybind11 in this environment. Falls back
+to the numpy builder in graph.py when no toolchain is available; both
+produce bit-identical plans (tests/test_graph_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "graphbuild.cc")
+_LIB = os.path.join(os.path.dirname(_SRC), "libgraphbuild.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+_ERRORS = {
+    -1: "edge capacity exceeded (raise max_edges)",
+    -2: "in-degree capacity exceeded (raise max_degree)",
+    -3: "tile-pair capacity exceeded (raise max_bsp_pairs)",
+    -4: "bad shapes (S*N > max_nodes or max_nodes % tile != 0)",
+}
+
+
+def _build() -> bool:
+    for flags in (["-O3", "-march=native", "-fopenmp"], ["-O3"]):
+        try:
+            subprocess.run(["g++", *flags, "-shared", "-fPIC", "-o", _LIB,
+                            _SRC], check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def _load():
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                        < os.path.getmtime(_SRC)):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _failed = True
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.mrp_build_plan.restype = ctypes.c_int
+        lib.mrp_build_plan.argtypes = [
+            f64p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            i32p, i32p, u8p, i32p, u8p, i32p, i32p, i32p, i32p,
+            np.ctypeslib.ndpointer(np.int32, shape=(1,)),
+        ]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def batch_from_positions_native(scene_positions, radius, max_nodes,
+                                max_edges, max_degree, max_bsp_pairs):
+    """Native counterpart of graph.batch_from_positions' numpy path.
+
+    Returns a GraphBatch, or None when the native library is unavailable or
+    the inputs are outside its fast-path shape (heterogeneous team sizes or
+    multi-dimensional positions fall back to numpy).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pos = [np.asarray(p, np.float64) for p in scene_positions]
+    if (not pos or any(p.ndim != 1 for p in pos)
+            or len({p.shape[0] for p in pos}) != 1):
+        return None
+    from mrp_gnn_tpu.graph import GraphBatch
+
+    S, N = len(pos), pos[0].shape[0]
+    tile = 0
+    for t in (128, 256, 64, 32, 16, 8):
+        if max_nodes % t == 0:
+            tile = t
+            break
+    if tile == 0:
+        return None
+    max_deg = max(_round_up(max_degree, 8), 8)
+    nt = max_nodes // tile
+    if max_bsp_pairs is None:
+        # No padding requested: compute the exact plan twice is wasteful, so
+        # size generously and trim after (the arrays are tiny).
+        cap_pairs = nt * nt
+    else:
+        cap_pairs = max_bsp_pairs
+
+    p_all = np.ascontiguousarray(np.stack(pos))
+    edge_src = np.zeros(max_edges, np.int32)
+    edge_dst = np.zeros(max_edges, np.int32)
+    edge_mask = np.zeros(max_edges, np.uint8)
+    ell_src = np.zeros((max_nodes, max_deg), np.int32)
+    ell_mask = np.zeros((max_nodes, max_deg), np.uint8)
+    pd = np.zeros(cap_pairs, np.int32)
+    ps = np.zeros(cap_pairs, np.int32)
+    fi = np.zeros(cap_pairs, np.int32)
+    la = np.zeros(cap_pairs, np.int32)
+    n_out = np.zeros(1, np.int32)
+    rc = lib.mrp_build_plan(p_all, S, N, float(radius), max_nodes, max_edges,
+                            max_deg, cap_pairs, tile, edge_src, edge_dst,
+                            edge_mask, ell_src.reshape(-1),
+                            ell_mask.reshape(-1), pd, ps, fi, la, n_out)
+    if rc == -4:
+        return None  # shape outside the native fast path -> numpy fallback
+    if rc != 0:
+        raise ValueError(f"native graph builder: {_ERRORS.get(rc, rc)}")
+    if max_bsp_pairs is None:  # trim inert padding for parity with numpy
+        # every dst tile emits exactly one last=1 (diagonal fallback), so
+        # the final real pair is the last nonzero of `la`.
+        real = int(np.nonzero(la)[0][-1]) + 1
+        pd, ps, fi, la = pd[:real], ps[:real], fi[:real], la[:real]
+
+    n_nodes = S * N
+    node_mask = np.arange(max_nodes) < n_nodes
+    node_scene = np.zeros(max_nodes, np.int32)
+    node_scene[:n_nodes] = np.repeat(np.arange(S, dtype=np.int32), N)
+    # numpy-backed leaves: the builder runs on the input-pipeline thread, so
+    # the host->device copy is left to jit dispatch (pipelined with compute)
+    # instead of paying a synchronous jnp.asarray here (~5 ms/batch at
+    # 8k-node swarm scale — 4x the native plan build itself).
+    return GraphBatch(
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        node_mask=node_mask,
+        edge_mask=edge_mask.astype(bool),
+        node_scene=node_scene,
+        n_nodes=np.int32(n_nodes),
+        n_edges=np.int32(int(n_out[0])),
+        ell_src=ell_src,
+        ell_mask=ell_mask.astype(bool),
+        bsp_pair_dst=pd,
+        bsp_pair_src=ps,
+        bsp_pair_first=fi,
+        bsp_pair_last=la,
+        bsp_tile=tile,
+        scene_adj=None,
+        scene_stride=0,
+    )

@@ -97,11 +97,8 @@ def render_scene_native(spec, seed: int, scene_index: int) -> dict | None:
     rh = (rng.uniform(0.12, 0.35, K) * H).astype(np.float32)
     colors = rng.uniform(0.15, 1.0, (K, 3)).astype(np.float32)
     classes = rng.integers(1, spec.num_classes, K).astype(np.int32)
-    if N > 1:
-        offsets = np.linspace(-spec.max_baseline / 2, spec.max_baseline / 2,
-                              N).astype(np.float32)
-    else:
-        offsets = np.zeros(1, np.float32)
+    from mrp_gnn_tpu.data.synthetic import camera_offsets
+    offsets = camera_offsets(spec, rng).astype(np.float32)
 
     images = np.empty((N, H, W, 3), np.float32)
     depth = np.empty((N, H, W), np.float32)
@@ -113,4 +110,5 @@ def render_scene_native(spec, seed: int, scene_index: int) -> dict | None:
         ctypes.c_uint64((seed * 1000003 + scene_index) & 0xFFFFFFFFFFFFFFFF),
         ctypes.c_float(0.02),
         images, depth, seg)
-    return {"images": images, "depth": depth, "seg": seg}
+    return {"images": images, "depth": depth, "seg": seg,
+            "positions": offsets}

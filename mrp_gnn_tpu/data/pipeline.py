@@ -36,6 +36,9 @@ class SceneDataset:
             # constant parallax between adjacent robots regardless of team
             # size (robots spread along the baseline; see radius_edges).
             max_baseline=0.25 * max(cfg.num_robots - 1, 1),
+            # cfg.mobility is in robot-index units; adjacent nominal slots
+            # sit 0.25 m apart (the baseline spacing above).
+            mobility=cfg.mobility * 0.25,
         )
 
         self._use_native = False
@@ -98,17 +101,26 @@ def augment_scene(rec: dict, rng: np.random.Generator) -> dict:
     only.
     """
     images, depth, seg = rec["images"], rec["depth"], rec["seg"]
+    positions = rec.get("positions")
     if rng.uniform() < 0.5:
         images = images[::-1, :, ::-1]
         depth = depth[::-1, :, ::-1]
         seg = seg[::-1, :, ::-1]
+        if positions is not None:
+            # mirroring the world negates the camera baseline; robot order
+            # reverses with it, so pairwise distances (and the dynamic
+            # radius graph) are preserved.
+            positions = (-positions[::-1]).copy()
     brightness = rng.uniform(0.85, 1.15)
     contrast = rng.uniform(0.9, 1.1)
     mean = images.mean(axis=(1, 2, 3), keepdims=True)
     images = np.clip((images - mean) * contrast + mean * brightness, 0.0, 1.0)
-    return {"images": np.ascontiguousarray(images.astype(np.float32)),
-            "depth": np.ascontiguousarray(depth),
-            "seg": np.ascontiguousarray(seg)}
+    out = {"images": np.ascontiguousarray(images.astype(np.float32)),
+           "depth": np.ascontiguousarray(depth),
+           "seg": np.ascontiguousarray(seg)}
+    if positions is not None:
+        out["positions"] = positions
+    return out
 
 
 def _pad_nodes(arr: np.ndarray, max_nodes: int) -> np.ndarray:
@@ -119,10 +131,17 @@ def _pad_nodes(arr: np.ndarray, max_nodes: int) -> np.ndarray:
 
 
 class BatchIterator:
-    """Yields padded node-flattened batches with a constant GraphBatch.
+    """Yields padded node-flattened batches.
 
-    Homogeneous teams => the graph topology is identical every step and built
-    once; only pixel data changes (cheap host work, static device shapes).
+    Static topology (the default): homogeneous teams => the graph is
+    identical every step and built once; only pixel data changes.
+    Dynamic topology (cfg.mobility > 0, radius connectivity): robots drift
+    per scene, so the communication graph is rebuilt per batch from scene
+    positions — under pinned capacities (max_edges / max_degree /
+    max_bsp_pairs sized for the full-connectivity worst case), so every
+    batch still has identical array shapes and one jit compile serves the
+    whole stream. The plan build runs on the pipeline thread (native C++
+    builder when available — native/graphbuild.cc).
     """
 
     def __init__(self, dataset, scenes_per_batch: int,
@@ -142,6 +161,37 @@ class BatchIterator:
         )
         self.max_nodes = self.graph.max_nodes
         self._scene_edges = edges
+        self._dynamic = getattr(cfg, "mobility", 0.0) > 0
+        if self._dynamic:
+            if cfg.connectivity != "radius":
+                raise ValueError("mobility > 0 needs connectivity='radius' "
+                                 "(dynamic topology is a communication-range "
+                                 "property)")
+            if not hasattr(dataset, "spec"):
+                raise ValueError("dynamic topology needs the synthetic "
+                                 "dataset (scene records carry robot "
+                                 "positions)")
+            from mrp_gnn_tpu.graph import batch_fully_connected
+            self._spacing = dataset.spec.max_baseline / max(n - 1, 1)
+            # Capacity superset: edges can only be a subset of the full
+            # per-scene graph, so the full batch's tile-pair plan length
+            # bounds every dynamic plan.
+            full = batch_fully_connected(scenes_per_batch, n,
+                                         max_nodes=self.max_nodes)
+            self._dyn_caps = dict(
+                max_nodes=self.max_nodes,
+                max_edges=scenes_per_batch * n * max(n - 1, 1),
+                max_degree=max(n - 1, 1),
+                max_bsp_pairs=int(full.bsp_pair_dst.shape[0]),
+                backend=getattr(cfg, "graph_builder", "auto"),
+            )
+            self._radius = float(cfg.comm_radius)
+            # first-batch/init graph with the dynamic stream's shapes:
+            # nominal (un-jittered) positions in index units.
+            from mrp_gnn_tpu.graph import batch_from_positions
+            nominal = np.arange(n, dtype=np.float64)
+            self.graph = batch_from_positions(
+                [nominal] * scenes_per_batch, self._radius, **self._dyn_caps)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -180,13 +230,20 @@ class BatchIterator:
                     augment_scene(s, np.random.default_rng(
                         [self.seed + 1, epoch, int(i)]))
                     for s, i in zip(scenes, idxs)]
-            graph = self.graph
-            if len(scenes) < self.bs:
-                # same static shapes, node_mask False on the missing scenes
-                graph = batch_homogeneous(
-                    len(scenes), self.ds.cfg.num_robots, self._scene_edges,
-                    max_nodes=self.max_nodes,
-                    max_edges=self.graph.max_edges)
+            if self._dynamic:
+                from mrp_gnn_tpu.graph import batch_from_positions
+                pos = [np.asarray(s["positions"], np.float64) / self._spacing
+                       for s in scenes]
+                graph = batch_from_positions(pos, self._radius,
+                                             **self._dyn_caps)
+            else:
+                graph = self.graph
+                if len(scenes) < self.bs:
+                    # same static shapes, node_mask False on missing scenes
+                    graph = batch_homogeneous(
+                        len(scenes), self.ds.cfg.num_robots,
+                        self._scene_edges, max_nodes=self.max_nodes,
+                        max_edges=self.graph.max_edges)
             images = np.concatenate([s["images"] for s in scenes])
             depth = np.concatenate([s["depth"] for s in scenes])
             seg = np.concatenate([s["seg"] for s in scenes])
@@ -269,6 +326,11 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
     .latest_data_state()) — O(1) seek for the grain loader.
     """
     if cfg.loader == "grain":
+        if getattr(cfg, "mobility", 0.0) > 0:
+            raise NotImplementedError(
+                "dynamic topology (mobility > 0) is implemented in the "
+                "builtin loader; the grain pipeline batches with a fixed "
+                "graph (data/grain_pipeline.py)")
         from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
         it = make_grain_iterator(cfg, "train")
         if data_state is not None:

@@ -31,15 +31,34 @@ class SceneSpec:
     background_depth: float = 15.0
     focal: float = 40.0         # pixels; disparity = focal * baseline / depth
     max_baseline: float = 1.0   # metres of lateral camera spread
+    # Per-scene camera-position jitter (metres): robots drift around their
+    # nominal baseline slots, so the communication-range graph varies per
+    # scene (dynamic swarm topology). 0 = static linspace rig.
+    mobility: float = 0.0
+
+
+def camera_offsets(spec: SceneSpec, rng: np.random.Generator) -> np.ndarray:
+    """Lateral camera offsets for one scene (shared by both renderer
+    backends so positions — and therefore the dynamic graph — are identical
+    whichever backend renders the pixels)."""
+    N = spec.num_robots
+    if N > 1:
+        offsets = np.linspace(-spec.max_baseline / 2, spec.max_baseline / 2, N)
+    else:
+        offsets = np.zeros(1)
+    if spec.mobility > 0:
+        offsets = offsets + rng.uniform(-spec.mobility, spec.mobility, N)
+    return offsets
 
 
 def generate_scene(spec: SceneSpec, seed: int, scene_index: int):
     """Render one scene for all robots.
 
     Returns dict of numpy arrays:
-      images: [N, H, W, 3] float32 in [0, 1]
-      depth:  [N, H, W]    float32 metric depth
-      seg:    [N, H, W]    int32 class ids (0 = background)
+      images:    [N, H, W, 3] float32 in [0, 1]
+      depth:     [N, H, W]    float32 metric depth
+      seg:       [N, H, W]    int32 class ids (0 = background)
+      positions: [N]          float32 lateral camera offsets (metres)
     """
     rng = np.random.default_rng(np.random.SeedSequence([seed, scene_index]))
     H, W = spec.image_size
@@ -55,11 +74,10 @@ def generate_scene(spec: SceneSpec, seed: int, scene_index: int):
     colors = rng.uniform(0.15, 1.0, (K, 3)).astype(np.float32)
     classes = rng.integers(1, spec.num_classes, K).astype(np.int32)
 
-    # Cameras: lateral offsets spread over the baseline (centered).
-    if N > 1:
-        offsets = np.linspace(-spec.max_baseline / 2, spec.max_baseline / 2, N)
-    else:
-        offsets = np.zeros(1)
+    # Cameras: lateral offsets spread over the baseline (centered), plus
+    # per-scene mobility jitter (drawn AFTER the world so the rect layout is
+    # shared with the native renderer path, which mirrors this draw order).
+    offsets = camera_offsets(spec, rng)
 
     images = np.zeros((N, H, W, 3), np.float32)
     depth = np.full((N, H, W), spec.background_depth, np.float32)
@@ -90,4 +108,5 @@ def generate_scene(spec: SceneSpec, seed: int, scene_index: int):
     # Mild per-view sensor noise so views are not pixel-identical.
     noise = rng.normal(0.0, 0.02, images.shape).astype(np.float32)
     images = np.clip(images + noise, 0.0, 1.0)
-    return {"images": images, "depth": depth, "seg": seg}
+    return {"images": images, "depth": depth, "seg": seg,
+            "positions": offsets.astype(np.float32)}

@@ -153,6 +153,61 @@ def radius_edges(num_robots: int, radius: int,
     return np.stack([np.array(src, np.int32), np.array(dst, np.int32)])
 
 
+def positions_radius_edges(positions: np.ndarray, radius: float,
+                           self_loops: bool = False) -> np.ndarray:
+    """Metric communication-range graph from robot positions.
+
+    positions: [N] (baseline offsets) or [N, d] coordinates. Edge j -> i iff
+    ||p_i - p_j|| <= radius, i != j. Returns [2, E] (src, dst) int32. This is
+    the dynamic-swarm counterpart of :func:`radius_edges`: as robots move,
+    the communication graph changes per scene (SURVEY.md section 0 "fully
+    connected within communication range" — positions now vary).
+    """
+    p = np.asarray(positions, np.float64)
+    if p.ndim == 1:
+        p = p[:, None]
+    d = np.linalg.norm(p[None, :, :] - p[:, None, :], axis=-1)  # d[i, j]
+    adj = d <= radius
+    if not self_loops:
+        np.fill_diagonal(adj, False)
+    dst, src = np.nonzero(adj)  # adj[i, j]: edge j -> i
+    return np.stack([src.astype(np.int32), dst.astype(np.int32)])
+
+
+def batch_from_positions(
+    scene_positions: Sequence[np.ndarray],
+    radius: float,
+    max_nodes: int,
+    max_edges: int,
+    max_degree: int,
+    max_bsp_pairs: int | None = None,
+    backend: str = "auto",
+) -> GraphBatch:
+    """Per-batch GraphBatch from per-scene robot positions (dynamic swarms).
+
+    Every capacity is pinned so consecutive batches share one set of array
+    shapes (one jit compile) while the topology underneath changes freely.
+    backend: "auto" uses the native C++ plan builder when available
+    (native/graphbuild.cc), "numpy" forces the Python path — both produce
+    bit-identical plans (tests/test_graph_native.py).
+    """
+    if backend in ("auto", "native"):
+        from mrp_gnn_tpu.data import graph_native
+        gb = graph_native.batch_from_positions_native(
+            scene_positions, radius, max_nodes, max_edges, max_degree,
+            max_bsp_pairs)
+        if gb is not None:
+            return gb
+        if backend == "native":
+            raise RuntimeError("native graph builder requested but the "
+                               "shared library could not be built/loaded")
+    edges = [positions_radius_edges(p, radius) for p in scene_positions]
+    return build_graph_batch(edges, [len(p) for p in scene_positions],
+                             max_nodes=max_nodes, max_edges=max_edges,
+                             max_degree=max_degree,
+                             max_bsp_pairs=max_bsp_pairs)
+
+
 def scene_edges_for(num_robots: int, connectivity: str = "full",
                     comm_radius: int = 0, self_loops: bool = False) -> np.ndarray:
     """Edge list for one scene by connectivity kind: "full" | "radius"."""
@@ -170,6 +225,8 @@ def build_graph_batch(
     scene_num_nodes: Sequence[int],
     max_nodes: int,
     max_edges: int,
+    max_degree: int | None = None,
+    max_bsp_pairs: int | None = None,
 ) -> GraphBatch:
     """Flatten per-scene edge lists into one padded, dst-sorted GraphBatch.
 
@@ -177,6 +234,11 @@ def build_graph_batch(
       scene_edges: per scene, int [2, E_s] (src, dst) in scene-local ids.
       scene_num_nodes: per scene, number of robot nodes.
       max_nodes / max_edges: static padded capacities.
+      max_degree: pin the ELL width to this capacity (rounded up to 8) —
+        pass it when topology varies per batch (dynamic swarms) so every
+        batch has identical array shapes and one jit compile serves all.
+      max_bsp_pairs: likewise pin the tile-pair plan length (padded with
+        inert pairs the kernels skip over).
     """
     srcs, dsts, scenes = [], [], []
     offset = 0
@@ -216,6 +278,12 @@ def build_graph_batch(
     # for VPU-friendly tiling, minimum 8.
     deg = np.bincount(dst, minlength=max_nodes) if n_edges else np.zeros(max_nodes, np.int64)
     max_deg = max(_round_up_int(int(deg.max()) if deg.size else 1, 8), 8)
+    if max_degree is not None:
+        cap = max(_round_up_int(max_degree, 8), 8)
+        if max_deg > cap:
+            raise ValueError(f"max in-degree {int(deg.max())} exceeds "
+                             f"max_degree capacity {max_degree}")
+        max_deg = cap
     ell_src = np.zeros((max_nodes, max_deg), np.int32)
     ell_mask = np.zeros((max_nodes, max_deg), bool)
     if n_edges:
@@ -235,7 +303,8 @@ def build_graph_batch(
     for t in (128, 256, 64, 32, 16, 8):
         if max_nodes % t == 0:
             bsp_tile = t
-            pairs = build_bsp_pairs(ell_src, ell_mask, t)
+            pairs = build_bsp_pairs(ell_src, ell_mask, t,
+                                    max_pairs=max_bsp_pairs)
             break
 
     return GraphBatch(
@@ -256,13 +325,20 @@ def build_graph_batch(
     )
 
 
-def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int):
+def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
+                    max_pairs: int | None = None):
     """Host-side (dst tile, src tile) pair plan for the block-sparse kernels.
 
     Returns (pair_dst, pair_src, pair_first, pair_last) int32 arrays, pairs
     grouped by destination tile in ascending order. Every dst tile gets at
     least one pair (its diagonal) so the first/last accumulator protocol
     always fires.
+
+    When ``max_pairs`` is set the plan is padded to that static length with
+    inert trailing pairs (first=0, last=0): the kernels' emission fires only
+    on last=1, so inert steps can only touch the already-emitted accumulator
+    of the final tile and never change any output (tests/test_pallas_bsp.py
+    padded-plan cases).
     """
     V = ell_src.shape[0]
     nt = V // tile
@@ -276,6 +352,15 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int):
             ps.append(int(s))
             fi.append(1 if i == 0 else 0)
             la.append(1 if i == len(tiles) - 1 else 0)
+    if max_pairs is not None:
+        if len(pd) > max_pairs:
+            raise ValueError(f"{len(pd)} tile pairs exceed max_bsp_pairs="
+                             f"{max_pairs}")
+        pad = max_pairs - len(pd)
+        pd += [nt - 1] * pad
+        ps += [nt - 1] * pad
+        fi += [0] * pad
+        la += [0] * pad
     return (jnp.asarray(np.array(pd, np.int32)),
             jnp.asarray(np.array(ps, np.int32)),
             jnp.asarray(np.array(fi, np.int32)),

@@ -97,6 +97,12 @@ def make_parallel_context(cfg: ExperimentConfig,
         return None
     mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size, model_ax)
     if pc.graph_axis_size > 1:
+        if getattr(cfg.data, "mobility", 0.0) > 0:
+            raise NotImplementedError(
+                "dynamic topology (mobility > 0) with graph partitioning "
+                "needs per-batch partition plans under static capacities — "
+                "run dynamic swarms on a data/model mesh (graph_axis_size=1)"
+                " for now (docs/parallelism.md)")
         plan = partition_graph(replica_graph, pc.graph_axis_size)
         edge_fn = make_partitioned_edge_fusion(
             mesh, plan,

@@ -252,6 +252,11 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         it = make_train_iterator(cfg.data)
     raw_it = it  # pre-stacking handle: carries get_state() for grain
     if accum > 1:
+        if getattr(cfg.data, "mobility", 0.0) > 0:
+            raise NotImplementedError(
+                "grad accumulation stacks microbatches under one graph; "
+                "dynamic topology (mobility > 0) yields a different graph "
+                "per batch — use grad_accum_steps=1 with dynamic swarms")
         it = _MicrobatchStacker(it, accum)
     first = next(it)
 

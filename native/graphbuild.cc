@@ -1,0 +1,174 @@
+// Native graph/partition-plan builder for dynamic swarm batches.
+//
+// The dynamic-topology pipeline (DataConfig.mobility > 0) rebuilds the
+// GraphBatch every step from per-scene robot positions: radius-connectivity
+// edge lists, the dst-sorted padded edge list, the ELL neighbour-list view,
+// and the tile-pair plan for the block-sparse Pallas kernels. At swarm scale
+// that host-side work sits on the input-pipeline critical path, so — like
+// the reference's data-loading tier (SURVEY.md section 2.1 "Graph builder /
+// batcher", reconstructed; reference mount empty) — it gets a native
+// implementation. Plain C ABI + ctypes (no pybind11 in this environment);
+// must produce BIT-IDENTICAL plans to the numpy path in
+// mrp_gnn_tpu/graph.py (tests/test_graph_native.py).
+//
+// Layout contract (mirrors graph.build_graph_batch):
+//   - scenes are contiguous node blocks: scene s node i -> slot s*N + i;
+//   - per scene, edges are emitted in (dst, src) ascending order (numpy
+//     np.nonzero row-major order), so the global edge list is dst-sorted
+//     without any further sort;
+//   - ELL slot of an edge = its rank within the destination's segment;
+//   - pair plan grouped by dst tile ascending, src tiles ascending, padded
+//     with inert (first=0, last=0) pairs pointing at the last tile.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Error codes (mirrored in mrp_gnn_tpu/data/graph_native.py).
+enum {
+  MRP_OK = 0,
+  MRP_ERR_EDGE_OVERFLOW = -1,
+  MRP_ERR_DEG_OVERFLOW = -2,
+  MRP_ERR_PAIR_OVERFLOW = -3,
+  MRP_ERR_BAD_SHAPE = -4,
+};
+
+// Build the full per-batch plan from per-scene 1-D robot positions.
+//
+// pos[S*N]: baseline offsets (scene-major). Outputs must be pre-allocated by
+// the caller at the documented capacities; this function zero-fills padding.
+int mrp_build_plan(const double* pos, int S, int N, double radius,
+                   int max_nodes, int max_edges, int max_deg, int max_pairs,
+                   int tile,
+                   int32_t* edge_src, int32_t* edge_dst, uint8_t* edge_mask,
+                   int32_t* ell_src, uint8_t* ell_mask,
+                   int32_t* pair_dst, int32_t* pair_src,
+                   int32_t* pair_first, int32_t* pair_last,
+                   int32_t* n_edges_out) {
+  if (S <= 0 || N <= 0 || S * N > max_nodes || max_nodes % tile != 0)
+    return MRP_ERR_BAD_SHAPE;
+
+  // Pass 1: per-scene edge counts (parallel), then a prefix sum.
+  std::vector<int> counts(S, 0);
+#pragma omp parallel for schedule(static)
+  for (int s = 0; s < S; ++s) {
+    const double* p = pos + (size_t)s * N;
+    int c = 0;
+    for (int i = 0; i < N; ++i)
+      for (int j = 0; j < N; ++j)
+        if (i != j && std::fabs(p[i] - p[j]) <= radius) ++c;
+    counts[s] = c;
+  }
+  std::vector<int> offs(S + 1, 0);
+  for (int s = 0; s < S; ++s) offs[s + 1] = offs[s] + counts[s];
+  const int n_edges = offs[S];
+  if (n_edges > max_edges) return MRP_ERR_EDGE_OVERFLOW;
+
+  // Pass 2: emit edges in (dst, src) order per scene — global list is then
+  // dst-sorted because scene node blocks are contiguous ascending.
+  std::memset(edge_src, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(edge_dst, 0, (size_t)max_edges * sizeof(int32_t));
+  std::memset(edge_mask, 0, (size_t)max_edges);
+#pragma omp parallel for schedule(static)
+  for (int s = 0; s < S; ++s) {
+    const double* p = pos + (size_t)s * N;
+    int w = offs[s];
+    const int base = s * N;
+    for (int i = 0; i < N; ++i) {       // dst-major
+      for (int j = 0; j < N; ++j) {     // src ascending within the segment
+        if (i == j || std::fabs(p[i] - p[j]) > radius) continue;
+        edge_src[w] = base + j;
+        edge_dst[w] = base + i;
+        edge_mask[w] = 1;
+        ++w;
+      }
+    }
+  }
+
+  // ELL view: slot = rank within the destination segment. Segments are the
+  // (dst ascending) runs emitted above, so ranks are just positions within
+  // each dst's run. Parallel over scenes (each owns its node rows).
+  std::memset(ell_src, 0, (size_t)max_nodes * max_deg * sizeof(int32_t));
+  std::memset(ell_mask, 0, (size_t)max_nodes * max_deg);
+  int deg_overflow = 0;
+#pragma omp parallel for schedule(static) reduction(max : deg_overflow)
+  for (int s = 0; s < S; ++s) {
+    int e = offs[s];
+    const int end = offs[s + 1];
+    while (e < end) {
+      const int d = edge_dst[e];
+      int run = e;
+      while (run < end && edge_dst[run] == d) ++run;
+      const int deg = run - e;
+      if (deg > max_deg) {
+        deg_overflow = deg;
+      } else {
+        for (int r = e; r < run; ++r) {
+          ell_src[(size_t)d * max_deg + (r - e)] = edge_src[r];
+          ell_mask[(size_t)d * max_deg + (r - e)] = 1;
+        }
+      }
+      e = run;
+    }
+  }
+  if (deg_overflow) return MRP_ERR_DEG_OVERFLOW;
+
+  // Tile-pair plan: per dst tile, ascending set of touched src tiles
+  // (diagonal fallback for empty tiles), then inert padding.
+  const int nt = max_nodes / tile;
+  std::vector<std::vector<int>> tile_srcs(nt);
+#pragma omp parallel for schedule(static)
+  for (int t = 0; t < nt; ++t) {
+    std::vector<uint8_t> hit(nt, 0);
+    bool any = false;
+    for (int v = t * tile; v < (t + 1) * tile; ++v)
+      for (int j = 0; j < max_deg; ++j)
+        if (ell_mask[(size_t)v * max_deg + j]) {
+          hit[ell_src[(size_t)v * max_deg + j] / tile] = 1;
+          any = true;
+        }
+    if (!any) hit[t] = 1;  // diagonal fallback
+    for (int s = 0; s < nt; ++s)
+      if (hit[s]) tile_srcs[t].push_back(s);
+  }
+  int w = 0;
+  for (int t = 0; t < nt; ++t) {
+    const int m = (int)tile_srcs[t].size();
+    if (w + m > max_pairs) return MRP_ERR_PAIR_OVERFLOW;
+    for (int i = 0; i < m; ++i) {
+      pair_dst[w] = t;
+      pair_src[w] = tile_srcs[t][i];
+      pair_first[w] = (i == 0) ? 1 : 0;
+      pair_last[w] = (i == m - 1) ? 1 : 0;
+      ++w;
+    }
+  }
+  for (; w < max_pairs; ++w) {  // inert padding
+    pair_dst[w] = nt - 1;
+    pair_src[w] = nt - 1;
+    pair_first[w] = 0;
+    pair_last[w] = 0;
+  }
+
+  *n_edges_out = n_edges;
+  return MRP_OK;
+}
+
+// Exact pair-count helper so callers can size max_pairs without guessing.
+int mrp_count_pairs_upper_bound(int S, int N, int max_nodes, int tile) {
+  // Worst case: every scene fully connected; a dst tile touches every tile
+  // any of its scenes' nodes lives in. Scene block size N vs tile size:
+  const int nt = max_nodes / tile;
+  const int span = (N + tile - 1) / tile + 1;  // tiles one scene can straddle
+  long total = (long)nt * (span < nt ? span : nt);
+  return (int)total;
+}
+
+}  // extern "C"
