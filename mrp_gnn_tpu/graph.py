@@ -32,7 +32,7 @@ import numpy as np
          data_fields=["edge_src", "edge_dst", "node_mask", "edge_mask",
                       "node_scene", "n_nodes", "n_edges", "scene_adj",
                       "ell_src", "ell_mask", "bsp_pair_dst", "bsp_pair_src",
-                      "bsp_pair_first", "bsp_pair_last"],
+                      "bsp_pair_first", "bsp_pair_last", "partition_plan"],
          meta_fields=["scene_stride", "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
@@ -87,6 +87,11 @@ class GraphBatch:
     bsp_pair_first: jax.Array | None = None
     bsp_pair_last: jax.Array | None = None
     bsp_tile: int = 0
+    # Per-batch edge-partition plan (parallel/partition.py EdgePartitionPlan,
+    # stacked over data replicas) — attached by the dynamic-topology
+    # partitioned path so the plan rides the batch pytree into the jitted
+    # step. None for static-topology runs (the plan is compiled in).
+    partition_plan: object | None = None
 
     @property
     def max_degree(self) -> int:

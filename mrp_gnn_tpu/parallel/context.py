@@ -45,6 +45,21 @@ class ParallelContext:
     node_sharding: NamedSharding      # [V, ...] arrays
     replicated: NamedSharding
     spatial: bool = False             # "model" axis shards image H instead
+    # Dynamic topology (mobility > 0) + graph partitioning: capacities that
+    # pin per-batch plan shapes, and the replica count for stacking. None for
+    # static topology.
+    dyn_caps: Optional[object] = None
+    num_replicas: int = 1
+
+    def attach_plan(self, graph: GraphBatch) -> GraphBatch:
+        """Attach the per-batch partition plan (dynamic topology only)."""
+        if self.dyn_caps is None or graph.partition_plan is not None:
+            return graph
+        from mrp_gnn_tpu.parallel.partition import partition_batch
+        nshards = self.plan.num_shards if self.plan else 1
+        return dataclasses.replace(
+            graph, partition_plan=partition_batch(
+                graph, self.num_replicas, nshards, self.dyn_caps))
 
     def shard_state(self, state):
         """Place a TrainState: params/moments TP-sharded over "model"
@@ -69,6 +84,7 @@ class ParallelContext:
         out = {}
         for k, v in batch.items():
             if k == "graph":
+                v = self.attach_plan(v)  # dynamic topology: per-batch plan
                 out[k] = jax.tree_util.tree_map(
                     lambda x: _put(x, self.replicated), v)
                 continue
@@ -96,18 +112,37 @@ def make_parallel_context(cfg: ExperimentConfig,
     if pc.data_axis_size * pc.graph_axis_size * model_ax <= 1:
         return None
     mesh = make_mesh(pc.data_axis_size, pc.graph_axis_size, model_ax)
+    dyn_caps = None
     if pc.graph_axis_size > 1:
         if getattr(cfg.data, "mobility", 0.0) > 0:
-            raise NotImplementedError(
-                "dynamic topology (mobility > 0) with graph partitioning "
-                "needs per-batch partition plans under static capacities — "
-                "run dynamic swarms on a data/model mesh (graph_axis_size=1)"
-                " for now (docs/parallelism.md)")
-        plan = partition_graph(replica_graph, pc.graph_axis_size)
-        edge_fn = make_partitioned_edge_fusion(
-            mesh, plan,
-            exchange=getattr(pc, "boundary_exchange", "boundary"),
-            overlap=pc.overlap_boundary_exchange)
+            # Dynamic topology: the compiled structure (shapes + halo rings)
+            # comes from the CAPACITY plan — the full-connectivity replica
+            # graph, a componentwise upper bound for every radius topology
+            # on the same scene layout. Per-batch plans are built against
+            # these capacities and attached to each batch's GraphBatch
+            # (attach_plan / partition.partition_batch).
+            from mrp_gnn_tpu.graph import batch_fully_connected
+            from mrp_gnn_tpu.parallel.partition import capacities_of
+            d = cfg.data
+            if d.scenes_per_batch % pc.data_axis_size:
+                raise ValueError(
+                    f"scenes_per_batch={d.scenes_per_batch} not divisible "
+                    f"by data_axis_size={pc.data_axis_size}")
+            scenes_rep = d.scenes_per_batch // pc.data_axis_size
+            full = batch_fully_connected(scenes_rep, d.num_robots)
+            plan = partition_graph(full, pc.graph_axis_size)
+            dyn_caps = capacities_of(plan)
+            edge_fn = make_partitioned_edge_fusion(
+                mesh, plan,
+                exchange=getattr(pc, "boundary_exchange", "boundary"),
+                overlap=pc.overlap_boundary_exchange,
+                dynamic=True)
+        else:
+            plan = partition_graph(replica_graph, pc.graph_axis_size)
+            edge_fn = make_partitioned_edge_fusion(
+                mesh, plan,
+                exchange=getattr(pc, "boundary_exchange", "boundary"),
+                overlap=pc.overlap_boundary_exchange)
     else:
         # DP/TP-only mesh: the single-device edge block is correct per shard.
         plan, edge_fn = None, None
@@ -118,4 +153,6 @@ def make_parallel_context(cfg: ExperimentConfig,
         node_sharding=NamedSharding(mesh, P(("data", "graph"))),
         replicated=NamedSharding(mesh, P()),
         spatial=getattr(pc, "spatial_sharding", False),
+        dyn_caps=dyn_caps,
+        num_replicas=pc.data_axis_size,
     )

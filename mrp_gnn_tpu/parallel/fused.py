@@ -45,7 +45,8 @@ from mrp_gnn_tpu.parallel.partition import EdgePartitionPlan
 
 def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                                  exchange: str = "boundary",
-                                 overlap: bool = True) -> Callable:
+                                 overlap: bool = True,
+                                 dynamic: bool = False) -> Callable:
     """Build an edge_fusion_fn closed over the mesh and partition plan.
 
     Node arrays must be sharded over P(("data", "graph")) on the node axis;
@@ -57,6 +58,11 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
     overlap: issue the value exchange before the local partial aggregation
       (True) or serialize it after (False) — the A/B for
       ParallelConfig.overlap_boundary_exchange.
+    dynamic: per-batch topology (DataConfig.mobility > 0). ``plan`` then
+      serves only as the CAPACITY plan fixing shapes and ring structure;
+      the actual plan arrives per call on graph.partition_plan, stacked
+      over data replicas ([R*P, ...], partition.partition_batch) and
+      sharded over both mesh axes.
     """
     if exchange not in ("boundary", "all_gather"):
         raise ValueError(f"unknown exchange mode {exchange!r}")
@@ -68,7 +74,19 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
              for d in deltas]
 
     def edge_fn(ops, aggregation: str, q, k, flat_values, graph: GraphBatch):
-        del graph  # topology comes pre-partitioned via the plan
+        if dynamic:
+            if graph.partition_plan is None:
+                raise ValueError("dynamic partitioned fusion needs the "
+                                 "per-batch plan on graph.partition_plan "
+                                 "(ParallelContext.attach_plan)")
+            live = graph.partition_plan
+            if (live.deltas != deltas or live.delta_rows != delta_rows
+                    or live.nodes_per_shard != nps):
+                raise ValueError("per-batch plan structure differs from the "
+                                 "capacity plan — build it with the same "
+                                 "PlanCapacities")
+        else:
+            live = plan  # topology is static; the plan is compiled in
 
         def halo(x_loc, sidx):
             """Per-delta ppermute of the requested rows; receive buffer is
@@ -176,11 +194,15 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
         # (same math, XLA ops).
         from mrp_gnn_tpu.ops.pallas_bsp import _interpret
         use_bsp = (getattr(ops, "impl", "xla") == "pallas"
-                   and plan.bsp_tile > 0 and plan.bsp_pair_dst is not None
+                   and plan.bsp_tile > 0 and live.bsp_pair_dst is not None
                    and not _interpret())
-        bsp_args = ((plan.bsp_pair_dst, plan.bsp_pair_src,
-                     plan.bsp_pair_first, plan.bsp_pair_last)
+        bsp_args = ((live.bsp_pair_dst, live.bsp_pair_src,
+                     live.bsp_pair_first, live.bsp_pair_last)
                     if use_bsp else ())
+        # Static plans are [P, ...] (replicated over "data"); dynamic
+        # per-batch plans are stacked per replica, [R*P, ...], so each
+        # (replica, shard) device gets its own block.
+        plan_spec = P(("data", "graph")) if dynamic else P("graph")
         sharded = jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -188,18 +210,18 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 P(("data", "graph")),  # q (or placeholder)
                 P(("data", "graph")),  # k (or placeholder)
                 P(("data", "graph")),  # flat values
-                P("graph"),                                      # send plan
-                P("graph"), P("graph"), P("graph"), P("graph"),  # remote edges
-                P("graph"), P("graph"),                          # local ELL
-            ) + (P("graph"),) * len(bsp_args),                   # BSP pairs
+                plan_spec,                                       # send plan
+                plan_spec, plan_spec, plan_spec, plan_spec,      # remote edges
+                plan_spec, plan_spec,                            # local ELL
+            ) + (plan_spec,) * len(bsp_args),                    # BSP pairs
             out_specs=P(("data", "graph")),
         )
         if q is None:  # mean aggregation carries no attention vectors
             q = jnp.zeros((flat_values.shape[0], 1), flat_values.dtype)
             k = q
-        return sharded(q, k, flat_values, plan.send_idx, plan.remote_dst,
-                       plan.remote_src_global, plan.remote_slot,
-                       plan.remote_mask, plan.ell_src, plan.ell_mask,
+        return sharded(q, k, flat_values, live.send_idx, live.remote_dst,
+                       live.remote_src_global, live.remote_slot,
+                       live.remote_mask, live.ell_src, live.ell_mask,
                        *bsp_args)
 
     return edge_fn

@@ -126,12 +126,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanCapacities:
+    """Static sizes pinning an EdgePartitionPlan's array shapes.
+
+    Dynamic-topology streams (DataConfig.mobility > 0) build a NEW plan per
+    batch; plans built under one PlanCapacities all share shapes and ring
+    structure, so one compiled shard_map program serves the stream. A
+    capacity is derived from a superset topology — for radius swarms, the
+    full-connectivity graph of the same scene layout upper-bounds every
+    per-shard count (edges, ELL width, boundary requests, tile pairs)
+    componentwise.
+    """
+    edges_per_shard: int
+    ell_width: int
+    deltas: tuple
+    delta_rows: tuple
+    remote_edges: int
+    bsp_pairs: int
+
+
+def capacities_of(plan: EdgePartitionPlan) -> PlanCapacities:
+    return PlanCapacities(
+        edges_per_shard=plan.edges_per_shard,
+        ell_width=int(plan.ell_mask.shape[-1]),
+        deltas=plan.deltas,
+        delta_rows=plan.delta_rows,
+        remote_edges=int(plan.remote_mask.shape[-1]),
+        bsp_pairs=(int(plan.bsp_pair_dst.shape[-1])
+                   if plan.bsp_pair_dst is not None else 0),
+    )
+
+
 def partition_graph(graph: GraphBatch, num_shards: int,
-                    pad_multiple: int = 8) -> EdgePartitionPlan:
+                    pad_multiple: int = 8,
+                    capacities: PlanCapacities | None = None
+                    ) -> EdgePartitionPlan:
     """Build the static partition plan for a GraphBatch.
 
     Requires graph.max_nodes divisible by num_shards (pad the batch's
     max_nodes up when configuring — see DataConfig.max_nodes).
+    capacities: pin every padded size (see PlanCapacities) so plans built
+    across a dynamic stream share shapes; raises when the graph exceeds any
+    capacity.
     """
     V = graph.max_nodes
     if V % num_shards:
@@ -141,12 +178,34 @@ def partition_graph(graph: GraphBatch, num_shards: int,
     src = np.asarray(graph.edge_src)
     dst = np.asarray(graph.edge_dst)
     mask = np.asarray(graph.edge_mask)
-    src, dst = src[mask], dst[mask]
+    arrs = _plan_arrays(src[mask], dst[mask], nps, num_shards, pad_multiple,
+                        capacities)
+    return _wrap_plan(arrs, num_shards, nps)
 
+
+def _wrap_plan(arrs: dict, num_shards: int, nps: int,
+               to_jnp: bool = True) -> EdgePartitionPlan:
+    import jax.numpy as jnp
+    meta = {k: arrs.pop(k) for k in ("deltas", "delta_rows", "bsp_tile")}
+    conv = (lambda v: jnp.asarray(v)) if to_jnp else (lambda v: v)
+    return EdgePartitionPlan(
+        **{k: (conv(v) if v is not None else None) for k, v in arrs.items()},
+        num_shards=num_shards, nodes_per_shard=nps, **meta)
+
+
+def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
+                 pad_multiple: int = 8,
+                 capacities: PlanCapacities | None = None) -> dict:
+    """numpy plan arrays for ONE replica's (masked) edge list."""
     owner = dst // nps
     counts = np.bincount(owner, minlength=num_shards)
     E_s = max(_round_up(int(counts.max()) if counts.size else 1, pad_multiple),
               pad_multiple)
+    if capacities is not None:
+        if E_s > capacities.edges_per_shard:
+            raise ValueError(f"shard edge count {int(counts.max())} exceeds "
+                             f"capacity {capacities.edges_per_shard}")
+        E_s = capacities.edges_per_shard
 
     P = num_shards
     src_g = np.zeros((P, E_s), np.int32)
@@ -172,6 +231,11 @@ def partition_graph(graph: GraphBatch, num_shards: int,
         if row.size:
             max_deg = max(max_deg, int(np.bincount(row).max()))
     L = _round_up(max_deg, pad_multiple)
+    if capacities is not None:
+        if L > capacities.ell_width:
+            raise ValueError(f"local in-degree {max_deg} exceeds ELL "
+                             f"capacity {capacities.ell_width}")
+        L = capacities.ell_width
     ell_src = np.zeros((P, nps, L), np.int32)
     ell_mask = np.zeros((P, nps, L), bool)
     for p in range(P):
@@ -204,6 +268,20 @@ def partition_graph(graph: GraphBatch, num_shards: int,
         if width:
             deltas.append(d)
             delta_rows.append(_round_up(int(width), pad_multiple))
+    if capacities is not None:
+        # ring structure is compiled in: use the capacity's delta set and
+        # widths verbatim (a batch may under-fill or skip some of them).
+        need = dict(zip(deltas, delta_rows))
+        extra = set(need) - set(capacities.deltas)
+        if extra:
+            raise ValueError(f"active deltas {sorted(extra)} outside "
+                             f"capacity deltas {capacities.deltas}")
+        for d, bd in zip(capacities.deltas, capacities.delta_rows):
+            if need.get(d, 0) > bd:
+                raise ValueError(f"delta {d} needs {need[d]} rows > "
+                                 f"capacity {bd}")
+        deltas = list(capacities.deltas)
+        delta_rows = list(capacities.delta_rows)
     total_b = max(sum(delta_rows), 1)  # >=1 so shapes stay non-empty
 
     send_idx = np.zeros((P, total_b), np.int32)
@@ -236,6 +314,11 @@ def partition_graph(graph: GraphBatch, num_shards: int,
     # --- compact remote (boundary) edge arrays --------------------------------
     r_counts = (m & ~lm).sum(axis=1)
     Er = max(_round_up(int(r_counts.max()), pad_multiple), pad_multiple)
+    if capacities is not None:
+        if Er > capacities.remote_edges:
+            raise ValueError(f"boundary edge count {int(r_counts.max())} "
+                             f"exceeds capacity {capacities.remote_edges}")
+        Er = capacities.remote_edges
     remote_dst = np.zeros((P, Er), np.int32)
     remote_src_g = np.zeros((P, Er), np.int32)
     remote_slot_c = np.zeros((P, Er), np.int32)
@@ -258,33 +341,87 @@ def partition_graph(graph: GraphBatch, num_shards: int,
                      build_bsp_pairs(ell_src[p], ell_mask[p], bsp_tile))
                for p in range(P)]
         pmax = max(x[0].size for x in per)
+        if capacities is not None and capacities.bsp_pairs:
+            if pmax > capacities.bsp_pairs:
+                raise ValueError(f"{pmax} tile pairs exceed capacity "
+                                 f"{capacities.bsp_pairs}")
+            pmax = capacities.bsp_pairs
         stacked = []
         for i in range(4):
             arr = np.zeros((P, pmax), np.int32)  # inert tail pairs
             for p in range(P):
                 arr[p, :per[p][i].size] = per[p][i]
-            stacked.append(jnp.asarray(arr))
+            stacked.append(arr)
         bsp = dict(zip(bsp.keys(), stacked))
 
-    return EdgePartitionPlan(
-        src_global=jnp.asarray(src_g),
-        dst_local=jnp.asarray(dst_l),
-        mask=jnp.asarray(m),
-        local_mask=jnp.asarray(lm),
-        send_idx=jnp.asarray(send_idx),
-        remote_dst=jnp.asarray(remote_dst),
-        remote_src_global=jnp.asarray(remote_src_g),
-        remote_slot=jnp.asarray(remote_slot_c),
-        remote_mask=jnp.asarray(remote_mask_c),
-        ell_src=jnp.asarray(ell_src),
-        ell_mask=jnp.asarray(ell_mask),
-        num_shards=P,
-        nodes_per_shard=nps,
+    return dict(
+        src_global=src_g,
+        dst_local=dst_l,
+        mask=m,
+        local_mask=lm,
+        send_idx=send_idx,
+        remote_dst=remote_dst,
+        remote_src_global=remote_src_g,
+        remote_slot=remote_slot_c,
+        remote_mask=remote_mask_c,
+        ell_src=ell_src,
+        ell_mask=ell_mask,
         deltas=tuple(deltas),
         delta_rows=tuple(delta_rows),
         bsp_tile=bsp_tile,
         **bsp,
     )
+
+
+def partition_batch(graph: GraphBatch, num_replicas: int, num_shards: int,
+                    capacities: PlanCapacities,
+                    pad_multiple: int = 8) -> EdgePartitionPlan:
+    """Per-batch partition plan for a DYNAMIC-topology batch, stacked over
+    data replicas: plan arrays are [num_replicas * num_shards, ...] so a
+    shard_map over the ("data", "graph") mesh gives each device the plan of
+    exactly its (replica, shard) block.
+
+    The batch's scenes must divide contiguously over replicas (the builtin
+    pipeline's layout), so every edge stays inside its replica's node block.
+    Capacities come from the full-connectivity replica graph — a
+    componentwise upper bound for any radius topology on the same layout —
+    so every batch's plan shares one set of shapes and ring structure.
+    """
+    V = graph.max_nodes
+    if V % num_replicas:
+        raise ValueError(f"max_nodes={V} not divisible by "
+                         f"num_replicas={num_replicas}")
+    v_rep = V // num_replicas
+    if v_rep % num_shards:
+        raise ValueError(f"replica nodes {v_rep} not divisible by "
+                         f"num_shards={num_shards}")
+    nps = v_rep // num_shards
+
+    src = np.asarray(graph.edge_src)
+    dst = np.asarray(graph.edge_dst)
+    mask = np.asarray(graph.edge_mask)
+    src, dst = src[mask], dst[mask]
+    rep = dst // v_rep
+    if src.size and not np.array_equal(rep, src // v_rep):
+        raise ValueError("an edge crosses data-replica node blocks — scenes "
+                         "must divide contiguously over replicas")
+
+    per = []
+    for r in range(num_replicas):
+        sel = rep == r
+        per.append(_plan_arrays(src[sel] - r * v_rep, dst[sel] - r * v_rep,
+                                nps, num_shards, pad_multiple, capacities))
+    stacked = {}
+    for k, v0 in per[0].items():
+        if k in ("deltas", "delta_rows", "bsp_tile"):
+            stacked[k] = v0  # uniform under shared capacities
+        elif v0 is None:
+            stacked[k] = None
+        else:
+            stacked[k] = np.concatenate([p[k] for p in per], axis=0)
+    # numpy leaves: per-batch plans are built on the input-pipeline thread;
+    # the host->device copy belongs to jit dispatch.
+    return _wrap_plan(stacked, num_shards, nps, to_jnp=False)
 
 
 def boundary_fraction(plan: EdgePartitionPlan) -> float:

@@ -261,6 +261,10 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     first = next(it)
 
     pctx = make_parallel(cfg)
+    if pctx is not None:
+        # dynamic topology + graph partitioning: the per-batch plan must be
+        # on the graph before model init traces the partitioned edge_fn
+        first = {**first, "graph": pctx.attach_plan(first["graph"])}
     rng = jax.random.PRNGKey(cfg.train.seed)
     init_batch = first if accum == 1 else {"images": first["images"][0],
                                            "graph": first["graph"]}

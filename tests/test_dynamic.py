@@ -13,12 +13,12 @@ from mrp_gnn_tpu.graph import positions_radius_edges
 
 def _tiny_cfg(**data_kw):
     cfg = get_config("dynamic_swarm")
+    data_kw = {"scenes_per_batch": 2, "num_train_scenes": 6,
+               "num_eval_scenes": 2, "image_size": (16, 16), **data_kw}
     return cfg.replace(
         model=dataclasses.replace(cfg.model, image_size=(16, 16),
                                   encoder_channels=(8, 16)),
-        data=dataclasses.replace(cfg.data, scenes_per_batch=2,
-                                 num_train_scenes=6, num_eval_scenes=2,
-                                 image_size=(16, 16), **data_kw),
+        data=dataclasses.replace(cfg.data, **data_kw),
     )
 
 
@@ -97,11 +97,100 @@ def test_dynamic_grad_accum_rejected():
         train(cfg)
 
 
-def test_dynamic_partitioned_rejected():
-    from mrp_gnn_tpu.parallel.context import make_parallel_context
-    from mrp_gnn_tpu.train import replica_graph_for
-    cfg = _tiny_cfg()
-    cfg = cfg.replace(parallel=dataclasses.replace(
-        cfg.parallel, graph_axis_size=2))
-    with pytest.raises(NotImplementedError, match="partition"):
-        make_parallel_context(cfg, replica_graph_for(cfg))
+# --- dynamic topology + graph partitioning ----------------------------------
+
+
+def _dyn_positions(S, N, seed):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, N - 1, N).astype(np.float64)
+    return [base + rng.uniform(-1.5, 1.5, N) for _ in range(S)]
+
+
+def _dyn_graph(seed, S=4, N=32):
+    from mrp_gnn_tpu.graph import batch_from_positions
+    return batch_from_positions(_dyn_positions(S, N, seed), radius=4.0,
+                                max_nodes=S * N, max_edges=S * N * (N - 1),
+                                max_degree=N - 1)
+
+
+def _dyn_partitioned_setup(data_ax, graph_ax, S=4, N=32):
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+    from mrp_gnn_tpu.parallel.mesh import make_mesh
+    from mrp_gnn_tpu.parallel.partition import capacities_of, partition_graph
+    v_rep = S * N // data_ax
+    full = batch_fully_connected(S // data_ax, N, max_nodes=v_rep)
+    cap_plan = partition_graph(full, graph_ax)
+    caps = capacities_of(cap_plan)
+    mesh = make_mesh(data_ax, graph_ax)
+    edge_fn = make_partitioned_edge_fusion(mesh, cap_plan, dynamic=True)
+    return caps, edge_fn
+
+
+def test_dynamic_partitioned_matches_unpartitioned():
+    """Per-batch plans under shared capacities: partitioned == unpartitioned
+    (values AND grads), and a second topology reuses the same shapes."""
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+    from mrp_gnn_tpu.parallel.partition import partition_batch
+
+    OPS = dispatch.get_ops("xla")
+    data_ax, graph_ax, S, N = 2, 4, 4, 32
+    caps, edge_fn = _dyn_partitioned_setup(data_ax, graph_ax, S, N)
+
+    rng = np.random.default_rng(0)
+    V = S * N
+    q = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, 12)).astype(np.float32))
+
+    run = jax.jit(lambda q, k, v, g: edge_fn(OPS, "attention", q, k, v, g))
+    shapes = set()
+    for seed in (0, 1):
+        g = _dyn_graph(seed, S, N)
+        plan = partition_batch(g, data_ax, graph_ax, caps)
+        g = dataclasses.replace(g, partition_plan=plan)
+        shapes.add(tuple(np.asarray(x).shape for x in
+                         (plan.send_idx, plan.ell_src, plan.remote_dst)))
+        got = run(q, k, v, g)
+        # no cross-replica edges => whole-batch unpartitioned run is the
+        # concatenation of per-replica oracles
+        want = default_edge_fusion(OPS, "attention", q, k, v, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        g_part = jax.grad(lambda q, k, v: jnp.sum(run(q, k, v, g) ** 2),
+                          argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(
+            lambda q, k, v: jnp.sum(
+                default_edge_fusion(OPS, "attention", q, k, v, g) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_part, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+    assert len(shapes) == 1, shapes
+
+
+def test_dynamic_partitioned_capacity_violation_raises():
+    from mrp_gnn_tpu.parallel.partition import partition_batch
+    caps, _ = _dyn_partitioned_setup(2, 4, S=4, N=32)
+    g = _dyn_graph(0, S=4, N=32)
+    bad = dataclasses.replace(caps, ell_width=8)  # force an overflow
+    with pytest.raises(ValueError, match="capacity"):
+        partition_batch(g, 2, 4, bad)
+
+
+def test_dynamic_partitioned_train_short_run():
+    import jax
+    from mrp_gnn_tpu.train import train
+    cfg = _tiny_cfg(num_robots=8, scenes_per_batch=4)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps=4, log_every=2,
+                                  eval_every=0, checkpoint_every=0),
+        parallel=dataclasses.replace(cfg.parallel, data_axis_size=2,
+                                     graph_axis_size=2, ops_impl="xla"),
+    )
+    state, recs = train(cfg)
+    assert np.isfinite(recs[-1]["total"])
+    assert int(jax.device_get(state.step)) == 4
