@@ -45,19 +45,36 @@ def _build() -> bool:
     return False
 
 
+# Subprocess smoke call (see _native_loader): 1 scene x 2 robots within
+# radius over 8 node slots exercises the real entry point end-to-end.
+_SMOKE = """
+import sys, ctypes
+import numpy as np
+lib = ctypes.CDLL(sys.argv[1])
+lib.mrp_build_plan.restype = ctypes.c_int
+vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+pos = np.array([0.0, 1.0], np.float64)
+es = np.zeros(64, np.int32); ed = np.zeros(64, np.int32)
+em = np.zeros(64, np.uint8)
+ell_s = np.zeros(8 * 8, np.int32); ell_m = np.zeros(8 * 8, np.uint8)
+pd = np.zeros(4, np.int32); ps = np.zeros(4, np.int32)
+fi = np.zeros(4, np.int32); la = np.zeros(4, np.int32)
+ne = np.zeros(1, np.int32)
+rc = lib.mrp_build_plan(vp(pos), 1, 2, ctypes.c_double(10.0), 8, 64, 8, 4, 8,
+                        vp(es), vp(ed), vp(em), vp(ell_s), vp(ell_m),
+                        vp(pd), vp(ps), vp(fi), vp(la), vp(ne))
+assert rc == 0 and ne[0] == 2, (rc, int(ne[0]))
+"""
+
+
 def _load():
+    from mrp_gnn_tpu.data._native_loader import load_verified
     global _lib, _failed
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
-                                        < os.path.getmtime(_SRC)):
-            if not _build():
-                _failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        lib = load_verified(_LIB, _SRC, _build, _SMOKE)
+        if lib is None:
             _failed = True
             return None
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -141,6 +158,13 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
         # the final real pair is the last nonzero of `la`.
         real = int(np.nonzero(la)[0][-1]) + 1
         pd, ps, fi, la = pd[:real], ps[:real], fi[:real], la[:real]
+    # Transposed (src-major) plan for the backward kernels: derived from the
+    # dst-major arrays in numpy (graph.derive_bsp_pairs_t), so the C++
+    # builder needs no mirror implementation and bit-parity is by
+    # construction.
+    from mrp_gnn_tpu.graph import bsp_pairs_t_capacity, derive_bsp_pairs_t
+    pd_t, ps_t, fi_t, la_t = derive_bsp_pairs_t(
+        pd, ps, la, nt, max_pairs=bsp_pairs_t_capacity(max_bsp_pairs, nt))
 
     n_nodes = S * N
     node_mask = np.arange(max_nodes) < n_nodes
@@ -164,6 +188,10 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
         bsp_pair_src=ps,
         bsp_pair_first=fi,
         bsp_pair_last=la,
+        bsp_pair_dst_t=pd_t,
+        bsp_pair_src_t=ps_t,
+        bsp_pair_first_t=fi_t,
+        bsp_pair_last_t=la_t,
         bsp_tile=tile,
         scene_adj=None,
         scene_stride=0,

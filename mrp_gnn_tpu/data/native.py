@@ -43,20 +43,37 @@ def _build() -> bool:
             return False
 
 
+# Subprocess smoke call (see _native_loader): one 4x4 render of a single
+# rect for 2 robots exercises the real entry point end-to-end.
+_SMOKE = """
+import sys, ctypes
+import numpy as np
+lib = ctypes.CDLL(sys.argv[1])
+lib.render_scene.restype = None
+vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+N, H, W, K = 2, 4, 4, 1
+f32 = lambda *v: np.array(v, np.float32)
+img = np.zeros(N * H * W * 3, np.float32)
+dep = np.zeros(N * H * W, np.float32)
+seg = np.zeros(N * H * W, np.int32)
+lib.render_scene(N, H, W, K, vp(f32(5.0)), vp(f32(2.0)), vp(f32(2.0)),
+                 vp(f32(2.0)), vp(f32(2.0)), vp(f32(1.0, 1.0, 1.0)),
+                 vp(np.array([1], np.int32)), vp(np.zeros(N, np.float32)),
+                 ctypes.c_float(4.0), ctypes.c_float(10.0),
+                 ctypes.c_uint64(1), ctypes.c_float(0.0),
+                 vp(img), vp(dep), vp(seg))
+assert np.isfinite(dep).all() and dep.max() > 0, float(dep.max())
+"""
+
+
 def _load():
+    from mrp_gnn_tpu.data._native_loader import load_verified
     global _lib, _failed
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
-            if not _build():
-                _failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        lib = load_verified(_LIB, _SRC, _build, _SMOKE)
+        if lib is None:
             _failed = True
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

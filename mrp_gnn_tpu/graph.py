@@ -32,7 +32,9 @@ import numpy as np
          data_fields=["edge_src", "edge_dst", "node_mask", "edge_mask",
                       "node_scene", "n_nodes", "n_edges", "scene_adj",
                       "ell_src", "ell_mask", "bsp_pair_dst", "bsp_pair_src",
-                      "bsp_pair_first", "bsp_pair_last", "partition_plan"],
+                      "bsp_pair_first", "bsp_pair_last", "bsp_pair_dst_t",
+                      "bsp_pair_src_t", "bsp_pair_first_t", "bsp_pair_last_t",
+                      "partition_plan"],
          meta_fields=["scene_stride", "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
@@ -86,6 +88,13 @@ class GraphBatch:
     bsp_pair_src: jax.Array | None = None
     bsp_pair_first: jax.Array | None = None
     bsp_pair_last: jax.Array | None = None
+    # Src-major re-sort of the same pair set (derive_bsp_pairs_t) driving the
+    # TRANSPOSED block-sparse SpMM in the backward kernels: dvalues/dk
+    # accumulate per SOURCE tile, so first/last mark source-group bounds.
+    bsp_pair_dst_t: jax.Array | None = None
+    bsp_pair_src_t: jax.Array | None = None
+    bsp_pair_first_t: jax.Array | None = None
+    bsp_pair_last_t: jax.Array | None = None
     bsp_tile: int = 0
     # Per-batch edge-partition plan (parallel/partition.py EdgePartitionPlan,
     # stacked over data replicas) — attached by the dynamic-topology
@@ -305,11 +314,16 @@ def build_graph_batch(
     # for the same streamed bytes (BASELINE.md).
     bsp_tile = 0
     pairs = (None,) * 4
+    pairs_t = (None,) * 4
     for t in (128, 256, 64, 32, 16, 8):
         if max_nodes % t == 0:
             bsp_tile = t
             pairs = build_bsp_pairs(ell_src, ell_mask, t,
                                     max_pairs=max_bsp_pairs)
+            nt = max_nodes // t
+            pairs_t = derive_bsp_pairs_t(
+                pairs[0], pairs[1], pairs[3], nt,
+                max_pairs=bsp_pairs_t_capacity(max_bsp_pairs, nt))
             break
 
     return GraphBatch(
@@ -326,6 +340,14 @@ def build_graph_batch(
         bsp_pair_src=pairs[1],
         bsp_pair_first=pairs[2],
         bsp_pair_last=pairs[3],
+        bsp_pair_dst_t=(jnp.asarray(pairs_t[0])
+                        if pairs_t[0] is not None else None),
+        bsp_pair_src_t=(jnp.asarray(pairs_t[1])
+                        if pairs_t[1] is not None else None),
+        bsp_pair_first_t=(jnp.asarray(pairs_t[2])
+                          if pairs_t[2] is not None else None),
+        bsp_pair_last_t=(jnp.asarray(pairs_t[3])
+                         if pairs_t[3] is not None else None),
         bsp_tile=bsp_tile,
     )
 
@@ -370,6 +392,68 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
             jnp.asarray(np.array(ps, np.int32)),
             jnp.asarray(np.array(fi, np.int32)),
             jnp.asarray(np.array(la, np.int32)))
+
+
+def bsp_pairs_t_capacity(max_bsp_pairs: int | None, nt: int) -> int | None:
+    """Static length of the transposed plan under a pinned dst-major cap.
+
+    The transposed plan holds the same real pair set plus at most one
+    diagonal fallback per source-less tile, so dst-cap + nt bounds it for
+    every topology sharing the capacity — keeping dynamic-stream shapes
+    batch-invariant."""
+    return None if max_bsp_pairs is None else max_bsp_pairs + nt
+
+
+def derive_bsp_pairs_t(pair_dst, pair_src, pair_last, nt: int,
+                       max_pairs: int | None = None):
+    """Src-major re-sort of a (possibly inert-padded) tile-pair plan.
+
+    Drives the TRANSPOSED block-sparse SpMM (ops/pallas_bsp.py backward
+    kernels): ``dvalues[s] += A(pair)^T @ g[dst]`` accumulates per SOURCE
+    tile, so pairs are regrouped by source tile ascending with first/last
+    marking source-group bounds. Every source tile gets at least one pair
+    (diagonal fallback — its selection matrix is empty, so it emits exactly
+    zero) because each output tile must be written exactly once. Inert
+    padding pairs point at (nt-1, nt-1) with first=last=0, the same
+    protocol as :func:`build_bsp_pairs`.
+
+    Derived purely from the dst-major plan arrays so the native C++ builder
+    (native/graphbuild.cc) needs no mirror implementation; cost is a lexsort
+    of a tiny array. Returns four int32 numpy arrays.
+    """
+    pd = np.asarray(pair_dst)
+    ps = np.asarray(pair_src)
+    la = np.asarray(pair_last)
+    nz = np.nonzero(la)[0]
+    real = int(nz[-1]) + 1 if nz.size else 0  # inert tail has last == 0
+    order = np.lexsort((pd[:real], ps[:real]))
+    spd, sps = pd[:real][order], ps[:real][order]
+    starts = np.searchsorted(sps, np.arange(nt))
+    ends = np.searchsorted(sps, np.arange(nt), side="right")
+    pd2, ps2, fi2, la2 = [], [], [], []
+    for s in range(nt):
+        i, j = int(starts[s]), int(ends[s])
+        if i == j:  # source-less tile: diagonal fallback emits zeros
+            pd2.append(s)
+            ps2.append(s)
+            fi2.append(1)
+            la2.append(1)
+            continue
+        pd2.extend(spd[i:j].tolist())
+        ps2.extend([s] * (j - i))
+        fi2.extend([1] + [0] * (j - i - 1))
+        la2.extend([0] * (j - i - 1) + [1])
+    if max_pairs is not None:
+        if len(pd2) > max_pairs:
+            raise ValueError(f"{len(pd2)} transposed tile pairs exceed "
+                             f"max_pairs={max_pairs}")
+        pad = max_pairs - len(pd2)
+        pd2 += [nt - 1] * pad
+        ps2 += [nt - 1] * pad
+        fi2 += [0] * pad
+        la2 += [0] * pad
+    return (np.array(pd2, np.int32), np.array(ps2, np.int32),
+            np.array(fi2, np.int32), np.array(la2, np.int32))
 
 
 def batch_homogeneous(

@@ -25,8 +25,14 @@ Two kernels (alpha is [V, deg] — negligible traffic between them):
     in VMEM scratch across the pair group and never visit HBM.
   bsp_spmm: attention-weighted aggregation with the A @ V_tile scheme.
 
-Backward passes run the equivalent XLA math via custom_vjp (gathers + one
-scatter-add); forward is where the bytes are.
+Backward passes ride the SAME tile-pair machinery (round 3): ``dalpha`` is a
+generic block-sparse SDDMM over the dst-major plan (one [Tv,D]x[D,Ts] MXU
+matmul per pair + the one-hot column selection), and ``dvalues``/``dk`` are
+the TRANSPOSED SpMM — ``out[s] += A(pair)^T @ g[dst]`` accumulated per
+SOURCE tile over a src-major re-sort of the pair plan
+(graph.derive_bsp_pairs_t). Training therefore streams whole-tile DMAs in
+both directions; the old XLA gather+scatter math remains only as the
+fallback when a batch carries no transposed plan.
 """
 
 from __future__ import annotations
@@ -138,29 +144,39 @@ def _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
     )(pd, ps, fi, la, q, k, ell_src, ell_mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _bsp_weights(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def _bsp_weights(q, k, ell_src, ell_mask, pd, ps, fi, la, pdt, pst, fit, lat,
+                 T, interpret):
     return _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T,
                             interpret)
 
 
-def _bsp_weights_fwd(q, k, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+def _bsp_weights_fwd(q, k, ell_src, ell_mask, pd, ps, fi, la,
+                     pdt, pst, fit, lat, T, interpret):
     alpha = _weights_forward(q, k, ell_src, ell_mask, pd, ps, fi, la, T,
                              interpret)
-    return alpha, (q, k, ell_src, ell_mask, alpha)
+    return alpha, (q, k, ell_src, ell_mask, alpha,
+                   pd, ps, fi, la, pdt, pst, fit, lat)
 
 
 def _bsp_weights_bwd(T, interpret, res, g):
-    q, k, src, mask_i, alpha = res
+    q, k, src, mask_i, alpha, pd, ps, fi, la, pdt, pst, fit, lat = res
     mask = mask_i > 0
     # softmax backward: dlogits = alpha * (g - sum_j alpha_j g_j)
     dlog = alpha * (g - jnp.sum(alpha * g, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
-    kg = k[src]                                        # [V, deg, dk]
-    dq = jnp.einsum("vj,vjd->vd", dlog, kg)
-    dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
-    return (dq.astype(q.dtype), dk_.astype(k.dtype),
-            None, None, None, None, None, None)
+    nones = (None,) * 10
+    if pdt is None:
+        kg = k[src]                                    # [V, deg, dk]
+        dq = jnp.einsum("vj,vjd->vd", dlog, kg)
+        dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
+        return (dq.astype(q.dtype), dk_.astype(k.dtype)) + nones
+    # dq[v] = sum_j dlog[v,j] k[src[v,j]]  == forward SpMM(dlog, k);
+    # dk[s] = sum_{v,j: src=s} dlog[v,j] q[v]  == transposed SpMM(dlog, q).
+    dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
+    dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
+                          out_dtype=k.dtype)
+    return (dq.astype(q.dtype), dk_) + nones
 
 
 _bsp_weights.defvjp(_bsp_weights_fwd, _bsp_weights_bwd)
@@ -259,25 +275,193 @@ def _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
     return out[:, :D_orig] if D_orig != D else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _bsp_spmm(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
+# --- backward kernels: block-sparse SDDMM + transposed SpMM ------------------
+#
+# The adjoint of the forward SpMM's linear map out[v] = sum_j A-selected
+# alpha[v,j] * values[src[v,j]] decomposes into two kernels that reuse the
+# tile-pair machinery exactly:
+#   dalpha[v,j] = <g[v], values[src[v,j]]>   (dst-major plan: per pair, one
+#     G_tile @ V_tile^T MXU matmul, then the one-hot column selection)
+#   dvalues[s]  = sum_{v,j: src=s} w[v,j] * g[v]   (SRC-major plan
+#     derive_bsp_pairs_t: per pair, A^T @ G_tile accumulated per src tile)
+# Both use the forward's selection (pairs of the plan), so together they are
+# the EXACT vjp of the forward kernel — bit-consistent even on padding slots.
+
+
+def _mm_precision(dtype) -> jax.lax.Precision:
+    # bf16 rides the MXU natively; f32 needs HIGHEST (default f32 matmul
+    # rounds through bf16 passes).
+    return (jax.lax.Precision.DEFAULT
+            if jnp.dtype(dtype).name == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+
+
+def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                  a_ref, b_ref, src_ref, out_ref, acc_ref):
+    """out[v, j] = <a[v], b[src[v, j]]> over the dst-major pair plan.
+
+    a_ref [Tv, D] (dst tile), b_ref [Ts, D] (src tile, whole-tile DMA),
+    src_ref [Tv, deg] ELL columns, out_ref/acc_ref [Tv, deg] f32."""
+    p = pl.program_id(0)
+    Ts = b_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+
+    ab = jax.lax.dot_general(a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_mm_precision(a_ref.dtype))  # [Tv, Ts]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+
+    acc = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
+                    acc_ref[:])
+    for j in range(deg):  # static unroll over ELL columns
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        sel = (col == srcj).astype(jnp.float32)
+        lj = jnp.sum(ab * sel, axis=1, keepdims=True)
+        acc = acc + lj * (dcol == j).astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out_ref[:] = acc
+
+
+def _sddmm_forward(a, b, ell_src, pd, ps, fi, la, T, interpret):
+    if a.dtype != b.dtype:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    a, _ = _pad_lanes(a)
+    b, _ = _pad_lanes(b)
+    V, D = a.shape
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_pairs,),
+        in_specs=[
+            pl.BlockSpec((T, D), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # a (dst tile)
+            pl.BlockSpec((T, D), lambda p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # b (src tile)
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+        ],
+        out_specs=pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, deg), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((V, deg), jnp.float32, _out_vma(a, b, ell_src)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * T * D,
+            bytes_accessed=(num_pairs * T * D + V * D) * a.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pd, ps, fi, la, a, b, ell_src)
+
+
+def _spmm_t_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                   alpha_ref, src_ref, x_ref, out_ref, acc_ref):
+    """Transposed SpMM: out[s] += A(pair)^T @ x[dst] per SRC-major pair.
+
+    Grid (feature tiles, pairs) — pairs fastest, grouped by src tile.
+    alpha_ref/src_ref [Tv, deg] (dst tile of the pair), x_ref [Tv, Tf]
+    (dst tile), out_ref/acc_ref [Ts, Tf] (src tile)."""
+    p = pl.program_id(1)
+    Tv, deg = src_ref.shape
+    Ts = out_ref.shape[0]
+    base = ps_ref[p] * Ts
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+    alpha = alpha_ref[:]
+
+    A = jnp.zeros((Tv, Ts), jnp.float32)
+    for j in range(deg):  # static unroll
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        aj = jnp.sum(jnp.where(dcol == j, alpha, 0.0), axis=1, keepdims=True)
+        A = A + aj * (col == srcj).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        A.astype(x_ref.dtype), x_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(x_ref.dtype))       # [Ts, Tf]
+    acc = jnp.where(first_ref[p] == 1, contrib, acc_ref[:] + contrib)
+    acc_ref[:] = acc
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _spmm_t_forward(alpha, x, ell_src, pdt, pst, fit, lat, T, interpret,
+                    out_dtype=None):
+    """out[s] = sum_{v,j: ell_src[v,j]=s, pair in plan} alpha[v,j] * x[v]."""
+    x, D_orig = _pad_lanes(x)
+    V, D = x.shape
+    deg = ell_src.shape[1]
+    num_pairs = pdt.shape[0]
+    Tf = _pick_feat_tile(D, interpret)
+    out_dtype = out_dtype or x.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(D // Tf, num_pairs),
+        in_specs=[
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # alpha (dst tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (pd[p], f),
+                         memory_space=pltpu.VMEM),     # x (dst tile)
+        ],
+        out_specs=pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la:
+                               (ps[p], f), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, Tf), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _spmm_t_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((V, D), out_dtype, _out_vma(alpha, x, ell_src)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * T * D,
+            bytes_accessed=(num_pairs * T * D + V * D) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pdt, pst, fit, lat, alpha, ell_src, x)
+    return out[:, :D_orig] if D_orig != D else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _bsp_spmm(alpha, values, ell_src, pd, ps, fi, la, pdt, pst, fit, lat,
+              T, interpret):
     return _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret)
 
 
-def _bsp_spmm_fwd(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
+def _bsp_spmm_fwd(alpha, values, ell_src, pd, ps, fi, la, pdt, pst, fit, lat,
+                  T, interpret):
     out = _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret)
-    return out, (alpha, values, ell_src)
+    return out, (alpha, values, ell_src, pd, ps, fi, la, pdt, pst, fit, lat)
 
 
 def _bsp_spmm_bwd(T, interpret, res, g):
-    alpha, values, src = res
-    # alpha is already exactly 0 on masked slots (kernel-1 softmax), so no
-    # separate mask is needed here; src=0 padding contributes 0-weighted rows.
-    dalpha = jnp.einsum("vd,vjd->vj", g, values[src])
-    dvalues = jnp.zeros_like(values).at[src].add(
-        alpha[..., None].astype(values.dtype)
-        * g[:, None, :].astype(values.dtype))
-    return (dalpha.astype(alpha.dtype), dvalues, None, None, None, None, None)
+    alpha, values, src, pd, ps, fi, la, pdt, pst, fit, lat = res
+    nones = (None,) * 8
+    if pdt is None:
+        # No transposed plan on this batch: legacy XLA gather/scatter math.
+        dalpha = jnp.einsum("vd,vjd->vj", g, values[src])
+        dvalues = jnp.zeros_like(values).at[src].add(
+            alpha[..., None].astype(values.dtype)
+            * g[:, None, :].astype(values.dtype))
+        return (dalpha.astype(alpha.dtype), dvalues, None) + nones
+    dalpha = _sddmm_forward(g, values, src, pd, ps, fi, la, T, interpret)
+    dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
+                              interpret, out_dtype=values.dtype)
+    return (dalpha.astype(alpha.dtype), dvalues, None) + nones
 
 
 _bsp_spmm.defvjp(_bsp_spmm_fwd, _bsp_spmm_bwd)
@@ -404,48 +588,63 @@ def _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
     return out[:, :D_orig] if D_orig != D else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def _bsp_fused(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def _bsp_fused(q, k, values, ell_src, ell_mask, pd, ps, fi, la,
+               pdt, pst, fit, lat, T, interpret):
     return _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
                           interpret)
 
 
-def _bsp_fused_fwd(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
-                   interpret):
+def _bsp_fused_fwd(q, k, values, ell_src, ell_mask, pd, ps, fi, la,
+                   pdt, pst, fit, lat, T, interpret):
     out = _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
                          interpret)
-    return out, (q, k, values, ell_src, ell_mask)
+    return out, (q, k, values, ell_src, ell_mask,
+                 pd, ps, fi, la, pdt, pst, fit, lat)
 
 
 def _bsp_fused_bwd(T, interpret, res, g):
-    """Equivalent XLA math (gathers + scatter-adds); forward owns the bytes.
+    """Backward of the one-pass kernel, on the same tile-pair machinery.
 
-    Recomputes alpha — cheaper in HBM traffic than saving [V, deg] from the
-    kernel would be complicated by the fused structure, and the recompute is
-    three small gathers at deg << V."""
-    q, k, values, src, mask_i = res
+    Recomputes alpha via the two-kernel weights pass (dk is tiny, so the
+    recompute streams far fewer bytes than saving [V, deg] from the fused
+    kernel would), then: dalpha = block-sparse SDDMM(g, values); dvalues =
+    transposed SpMM(alpha, g); softmax backward on-chip in XLA (pure
+    elementwise); dq = SpMM(dlog, k); dk = transposed SpMM(dlog, q). Falls
+    back to XLA gather/scatter math when the batch has no transposed plan."""
+    q, k, values, src, mask_i, pd, ps, fi, la, pdt, pst, fit, lat = res
     mask = mask_i > 0
-    kg = k[src]                                            # [V, deg, dk]
-    logits = jnp.einsum("vd,vjd->vj", q, kg)
-    x = jnp.where(mask, logits, _NEG)
-    mx = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.where(mask, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
-    den = jnp.sum(e, axis=-1, keepdims=True)
-    alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+    nones = (None,) * 10
+    if pdt is None:
+        kg = k[src]                                        # [V, deg, dk]
+        logits = jnp.einsum("vd,vjd->vj", q, kg)
+        x = jnp.where(mask, logits, _NEG)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+        dalpha = jnp.einsum("vd,vjd->vj", g.astype(jnp.float32),
+                            values[src].astype(jnp.float32))
+        dvalues = jnp.zeros_like(values).at[src].add(
+            alpha[..., None].astype(values.dtype)
+            * g[:, None, :].astype(values.dtype))
+        dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1,
+                                         keepdims=True))
+        dlog = jnp.where(mask, dlog, 0.0)
+        dq = jnp.einsum("vj,vjd->vd", dlog, kg)
+        dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
+        return (dq.astype(q.dtype), dk_.astype(k.dtype), dvalues) + nones
 
-    # SpMM backward
-    dalpha = jnp.einsum("vd,vjd->vj", g.astype(jnp.float32),
-                        values[src].astype(jnp.float32))
-    dvalues = jnp.zeros_like(values).at[src].add(
-        alpha[..., None].astype(values.dtype) * g[:, None, :].astype(values.dtype))
-    # softmax backward
+    alpha = _weights_forward(q, k, src, mask_i, pd, ps, fi, la, T, interpret)
+    dalpha = _sddmm_forward(g, values, src, pd, ps, fi, la, T, interpret)
+    dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
+                              interpret, out_dtype=values.dtype)
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
-    # SDDMM backward
-    dq = jnp.einsum("vj,vjd->vd", dlog, kg)
-    dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
-    return (dq.astype(q.dtype), dk_.astype(k.dtype), dvalues,
-            None, None, None, None, None, None)
+    dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
+    dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
+                          out_dtype=k.dtype)
+    return (dq.astype(q.dtype), dk_, dvalues) + nones
 
 
 _bsp_fused.defvjp(_bsp_fused_fwd, _bsp_fused_bwd)
@@ -460,15 +659,20 @@ def supports(graph, values_dim: int | None = None) -> bool:
             and graph.bsp_pair_dst is not None)
 
 
+def _plan_args(graph):
+    return (graph.bsp_pair_dst, graph.bsp_pair_src,
+            graph.bsp_pair_first, graph.bsp_pair_last,
+            graph.bsp_pair_dst_t, graph.bsp_pair_src_t,
+            graph.bsp_pair_first_t, graph.bsp_pair_last_t)
+
+
 def bsp_weighted_aggregate(weights: jax.Array, values: jax.Array,
                            graph) -> jax.Array:
     """out[v] = sum_j weights[v, j] * values[ell_src[v, j]] over the tile-
     pair plan. weights must already be 0 on masked slots (e.g. softmax
     output, or mask/deg for mean aggregation)."""
     return _bsp_spmm(weights.astype(jnp.float32), values, graph.ell_src,
-                     graph.bsp_pair_dst, graph.bsp_pair_src,
-                     graph.bsp_pair_first, graph.bsp_pair_last,
-                     graph.bsp_tile, _interpret())
+                     *_plan_args(graph), graph.bsp_tile, _interpret())
 
 
 def bsp_mean(values: jax.Array, graph) -> jax.Array:
@@ -491,12 +695,11 @@ def bsp_attention(q: jax.Array, k: jax.Array, values: jax.Array,
     interpret = _interpret()
     scale = 1.0 / np.sqrt(q.shape[-1])
     qs = (q.astype(jnp.float32) * scale)
-    pd, ps = graph.bsp_pair_dst, graph.bsp_pair_src
-    fi, la = graph.bsp_pair_first, graph.bsp_pair_last
+    plan = _plan_args(graph)
     mask_i = graph.ell_mask.astype(jnp.int32)
     alpha = _bsp_weights(qs, k.astype(jnp.float32), graph.ell_src, mask_i,
-                         pd, ps, fi, la, graph.bsp_tile, interpret)
-    return _bsp_spmm(alpha, values, graph.ell_src, pd, ps, fi, la,
+                         *plan, graph.bsp_tile, interpret)
+    return _bsp_spmm(alpha, values, graph.ell_src, *plan,
                      graph.bsp_tile, interpret)
 
 
@@ -509,6 +712,4 @@ def bsp_attention_fused(q: jax.Array, k: jax.Array, values: jax.Array,
     scale = 1.0 / np.sqrt(q.shape[-1])
     return _bsp_fused(q.astype(jnp.float32) * scale, k.astype(jnp.float32),
                       values, graph.ell_src, graph.ell_mask,
-                      graph.bsp_pair_dst, graph.bsp_pair_src,
-                      graph.bsp_pair_first, graph.bsp_pair_last,
-                      graph.bsp_tile, _interpret())
+                      *_plan_args(graph), graph.bsp_tile, _interpret())

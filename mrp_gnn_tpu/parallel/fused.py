@@ -197,7 +197,9 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                    and plan.bsp_tile > 0 and live.bsp_pair_dst is not None
                    and not _interpret())
         bsp_args = ((live.bsp_pair_dst, live.bsp_pair_src,
-                     live.bsp_pair_first, live.bsp_pair_last)
+                     live.bsp_pair_first, live.bsp_pair_last,
+                     live.bsp_pair_dst_t, live.bsp_pair_src_t,
+                     live.bsp_pair_first_t, live.bsp_pair_last_t)
                     if use_bsp else ())
         # Static plans are [P, ...] (replicated over "data"); dynamic
         # per-batch plans are stacked per replica, [R*P, ...], so each

@@ -42,7 +42,8 @@ from mrp_gnn_tpu.graph import GraphBatch
                       "send_idx", "remote_dst", "remote_src_global",
                       "remote_slot", "remote_mask", "ell_src", "ell_mask",
                       "bsp_pair_dst", "bsp_pair_src", "bsp_pair_first",
-                      "bsp_pair_last"],
+                      "bsp_pair_last", "bsp_pair_dst_t", "bsp_pair_src_t",
+                      "bsp_pair_first_t", "bsp_pair_last_t"],
          meta_fields=["num_shards", "nodes_per_shard", "deltas", "delta_rows",
                       "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +107,12 @@ class EdgePartitionPlan:
     bsp_pair_src: jax.Array | None
     bsp_pair_first: jax.Array | None
     bsp_pair_last: jax.Array | None
+    # Src-major re-sort per shard (graph.derive_bsp_pairs_t) for the
+    # transposed block-sparse SpMM in the Pallas backward kernels.
+    bsp_pair_dst_t: jax.Array | None
+    bsp_pair_src_t: jax.Array | None
+    bsp_pair_first_t: jax.Array | None
+    bsp_pair_last_t: jax.Array | None
     num_shards: int
     nodes_per_shard: int
     deltas: tuple
@@ -144,6 +151,8 @@ class PlanCapacities:
     delta_rows: tuple
     remote_edges: int
     bsp_pairs: int
+    # The transposed plan's width is always bsp_pairs + nt (see
+    # graph.bsp_pairs_t_capacity) — no separate capacity needed.
 
 
 def capacities_of(plan: EdgePartitionPlan) -> PlanCapacities:
@@ -332,10 +341,12 @@ def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
         remote_mask_c[p, :kk] = True
 
     # --- per-shard tile-pair plans for the block-sparse Pallas SpMM ----------
-    from mrp_gnn_tpu.graph import build_bsp_pairs
+    from mrp_gnn_tpu.graph import build_bsp_pairs, derive_bsp_pairs_t
     bsp_tile = next((t for t in (128, 64, 32, 16, 8) if nps % t == 0), 0)
     bsp = {"bsp_pair_dst": None, "bsp_pair_src": None,
-           "bsp_pair_first": None, "bsp_pair_last": None}
+           "bsp_pair_first": None, "bsp_pair_last": None,
+           "bsp_pair_dst_t": None, "bsp_pair_src_t": None,
+           "bsp_pair_first_t": None, "bsp_pair_last_t": None}
     if bsp_tile:
         per = [tuple(np.asarray(a) for a in
                      build_bsp_pairs(ell_src[p], ell_mask[p], bsp_tile))
@@ -346,13 +357,29 @@ def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
                 raise ValueError(f"{pmax} tile pairs exceed capacity "
                                  f"{capacities.bsp_pairs}")
             pmax = capacities.bsp_pairs
-        stacked = []
-        for i in range(4):
-            arr = np.zeros((P, pmax), np.int32)  # inert tail pairs
+        # Inert tail pairs MUST target the LAST dst tile (nt-1), matching
+        # build_bsp_pairs' protocol: emission fires only on last=1, so inert
+        # steps may only revisit the already-emitted FINAL tile's output
+        # block. Zero-filled tails would re-map the Pallas output window to
+        # tile 0 after its emission and the end-of-grid copy-out would
+        # overwrite tile 0 with stale VMEM contents on TPU.
+        nt = nps // bsp_tile
+        # Src-major re-sort per shard for the Pallas backward kernels; its
+        # width is ALWAYS pmax + nt (real pairs + at most one diagonal
+        # fallback per source-less tile) so capacity-pinned dynamic streams
+        # keep batch-invariant shapes.
+        per_t = [derive_bsp_pairs_t(per[p][0], per[p][1], per[p][3], nt,
+                                    max_pairs=pmax + nt)
+                 for p in range(P)]
+        fills = (nt - 1, nt - 1, 0, 0)  # pair_dst, pair_src, first, last
+        stacked, stacked_t = [], []
+        for i, fill in enumerate(fills):
+            arr = np.full((P, pmax), fill, np.int32)
             for p in range(P):
                 arr[p, :per[p][i].size] = per[p][i]
             stacked.append(arr)
-        bsp = dict(zip(bsp.keys(), stacked))
+            stacked_t.append(np.stack([per_t[p][i] for p in range(P)]))
+        bsp = dict(zip(bsp.keys(), stacked + stacked_t))
 
     return dict(
         src_global=src_g,

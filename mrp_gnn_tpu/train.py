@@ -222,14 +222,27 @@ class _MicrobatchStacker:
         return out
 
     def _fill(self):
+        # Exceptions (including StopIteration from an exhausted iterator)
+        # must cross the thread boundary: enqueue them and re-raise in
+        # __next__, else the consumer blocks forever on an empty queue.
         while not self._stop.is_set():
-            self._q.put(self._build())
+            try:
+                item = self._build()
+            except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+                self._q.put(e)
+                return
+            self._q.put(item)
 
     def __iter__(self):
         return self
 
     def __next__(self) -> dict:
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            if isinstance(item, StopIteration):
+                raise StopIteration from item
+            raise item
+        return item
 
     def close(self):
         self._stop.set()

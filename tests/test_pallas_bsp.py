@@ -171,3 +171,94 @@ def test_bsp_through_fusion_layer_pallas_backend():
         outs[impl] = layer.apply(params, feats, gb)
     np.testing.assert_allclose(np.asarray(outs["pallas"]),
                                np.asarray(outs["xla"]), rtol=1e-4, atol=1e-4)
+
+
+def test_bsp_pairs_t_structure():
+    """Src-major transposed plan (graph.derive_bsp_pairs_t): same real pair
+    set as the dst-major plan, grouped by source tile with exactly one
+    first/last per group, diagonal fallback for source-less tiles, and
+    last-tile inert padding."""
+    from mrp_gnn_tpu.graph import bsp_pairs_t_capacity, derive_bsp_pairs_t
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    nt = gb.max_nodes // gb.bsp_tile
+    pd_t = np.asarray(gb.bsp_pair_dst_t)
+    ps_t = np.asarray(gb.bsp_pair_src_t)
+    fi_t = np.asarray(gb.bsp_pair_first_t)
+    la_t = np.asarray(gb.bsp_pair_last_t)
+    nz = np.nonzero(la_t)[0]
+    real = int(nz[-1]) + 1
+    # every src tile appears exactly once as first and once as last
+    for s in range(nt):
+        sel = ps_t[:real] == s
+        assert sel.any()
+        assert fi_t[:real][sel][0] == 1 and fi_t[:real][sel][1:].sum() == 0
+        assert la_t[:real][sel][-1] == 1 and la_t[:real][sel][:-1].sum() == 0
+    # src-major grouping is ascending
+    assert (np.diff(ps_t[:real]) >= 0).all()
+    # the real (dst, src) pair multiset matches the dst-major plan's
+    pd = np.asarray(gb.bsp_pair_dst)
+    ps = np.asarray(gb.bsp_pair_src)
+    la = np.asarray(gb.bsp_pair_last)
+    real_d = int(np.nonzero(la)[0][-1]) + 1
+    want = set(zip(pd[:real_d].tolist(), ps[:real_d].tolist()))
+    got = set(zip(pd_t[:real].tolist(), ps_t[:real].tolist()))
+    assert want <= got  # got may add diagonal fallbacks
+    assert all(d == s for (d, s) in got - want)  # extras are diagonals
+    # inert tail protocol (padding to a pinned capacity)
+    cap = bsp_pairs_t_capacity(int(pd.shape[0]), nt)
+    padded = derive_bsp_pairs_t(pd, ps, la, nt, max_pairs=cap)
+    assert padded[0].shape[0] == cap
+    nz = np.nonzero(padded[3])[0]
+    end = int(nz[-1])
+    assert (padded[0][end + 1:] == nt - 1).all()
+    assert (padded[1][end + 1:] == nt - 1).all()
+    assert (padded[2][end + 1:] == 0).all()
+    assert (padded[3][end + 1:] == 0).all()
+
+
+def test_bsp_backward_kernels_match_math():
+    """The standalone backward kernels (block-sparse SDDMM and transposed
+    SpMM) agree with the dense gather math, including under inert-padded
+    plans."""
+    gb = batch_homogeneous(4, 32, radius_edges(32, 4))
+    V = gb.max_nodes
+    deg = gb.ell_src.shape[1]
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(size=(V, 24)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V, 24)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, deg)).astype(np.float32))
+    w = w * gb.ell_mask  # contract: zero on masked slots
+    # SDDMM: out[v, j] = <a[v], b[src[v, j]]> on valid slots
+    got = B._sddmm_forward(a, b, gb.ell_src, gb.bsp_pair_dst,
+                           gb.bsp_pair_src, gb.bsp_pair_first,
+                           gb.bsp_pair_last, gb.bsp_tile, True)
+    want = jnp.einsum("vd,vjd->vj", a, b[gb.ell_src])
+    m = np.asarray(gb.ell_mask)
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
+                               rtol=1e-5, atol=1e-5)
+    # transposed SpMM: out[s] = sum_{v,j: src=s} w[v,j] * a[v]
+    got_t = B._spmm_t_forward(w, a, gb.ell_src, gb.bsp_pair_dst_t,
+                              gb.bsp_pair_src_t, gb.bsp_pair_first_t,
+                              gb.bsp_pair_last_t, gb.bsp_tile, True)
+    want_t = jnp.zeros_like(a).at[gb.ell_src].add(
+        (w * gb.ell_mask)[..., None] * a[:, None, :])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_gradients_bf16_values():
+    gb = batch_fully_connected(2, 8)
+    q, k, v = _rand(gb, D=256)
+    vb = v.astype(jnp.bfloat16)
+    g_bsp = jax.grad(
+        lambda q, k, v: jnp.sum(B.bsp_attention_fused(q, k, v, gb)
+                                .astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2))(q, k, vb)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_ell_oracle(q, k, v.astype(jnp.float32), gb)
+                                ** 2),
+        argnums=(0, 1, 2))(q, k, vb)
+    for a, b in zip(g_bsp, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)

@@ -186,3 +186,48 @@ def test_partitioned_gradients_match():
     for a, b in zip(g_ref, g_part):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_per_shard_bsp_tail_pairs_are_inert():
+    """Stacked per-shard BSP plans must pad with LAST-tile (nt-1) inert
+    pairs, matching graph.build_bsp_pairs' protocol: on TPU an inert step
+    that re-maps the Pallas output window to tile 0 after its emission
+    overwrites tile 0 with stale VMEM contents at end-of-grid copy-out
+    (interpret mode re-reads output blocks so CPU cannot catch it — this
+    structural guard plus bench.py's on-chip check cover it)."""
+    from mrp_gnn_tpu.parallel.partition import (PlanCapacities,
+                                                capacities_of,
+                                                partition_batch)
+    # Uneven per-shard pair counts: radius swarm over 2 shards of 128 nodes
+    # (bsp_tile 128 -> nt = 1 is trivial) — use 2 shards x 256 for nt = 2.
+    gb_full = batch_fully_connected(32, 16, max_nodes=512)
+    caps = capacities_of(partition_graph(gb_full, 2))
+    assert caps.bsp_pairs > 0
+    # a sparser radius topology under-fills the capacity -> tail padding
+    gb = batch_homogeneous(32, 16, radius_edges(16, 2), max_nodes=512)
+    plan = partition_graph(gb, 2, capacities=caps)
+    nt = plan.nodes_per_shard // plan.bsp_tile
+    pd = np.asarray(plan.bsp_pair_dst)
+    ps = np.asarray(plan.bsp_pair_src)
+    fi = np.asarray(plan.bsp_pair_first)
+    la = np.asarray(plan.bsp_pair_last)
+    for p in range(plan.num_shards):
+        live = np.nonzero(la[p])[0]
+        assert live.size, "every dst tile emits at least once"
+        end = live[-1]
+        assert pd[p, end] == nt - 1  # final real pair targets the last tile
+        # inert tail: stays on the last tile, never fires first/last
+        assert (pd[p, end + 1:] == nt - 1).all()
+        assert (ps[p, end + 1:] == nt - 1).all()
+        assert (fi[p, end + 1:] == 0).all()
+        assert (la[p, end + 1:] == 0).all()
+    # the dynamic stacked form obeys the same protocol
+    plan_d = partition_batch(gb, num_replicas=2, num_shards=2,
+                             capacities=capacities_of(
+                                 partition_graph(gb_full, 2)))
+    nt_d = plan_d.nodes_per_shard // plan_d.bsp_tile
+    la_d = np.asarray(plan_d.bsp_pair_last)
+    pd_d = np.asarray(plan_d.bsp_pair_dst)
+    for row in range(la_d.shape[0]):
+        end = np.nonzero(la_d[row])[0][-1]
+        assert (pd_d[row, end + 1:] == nt_d - 1).all()
