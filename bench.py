@@ -8,6 +8,19 @@ reference repo has no throughput numbers — so vs_baseline is the ratio
 against the XLA-reference-ops path measured in the same run (the "beat the
 stock-compiler baseline" figure the Pallas kernels must justify).
 
+Variance defence (the axon-tunneled chip drifts up to 6x between runs —
+BASELINE.md): variants are timed INTERLEAVED round-robin across repeat
+rounds rather than back-to-back, each round opens with a stream-bandwidth
+probe, rounds whose probe falls >20% below the best probe seen are rejected
+wholesale, and each variant scores its best accepted round. A degraded
+window therefore hits every variant equally or is discarded, instead of
+silently sinking whichever variant happened to run inside it.
+
+Also run here (stderr): the training-direction (fwd+bwd) edge-block rate —
+the Pallas backward kernel tier vs the XLA scatter backward — and an
+on-chip correctness gate for the partitioned pallas local path (the BSP
+kernel inside shard_map, a combination CPU interpret mode cannot execute).
+
 Extra diagnostics (roofline bound, per-path timings) go to stderr.
 """
 
@@ -25,21 +38,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
-                     kind: str = "block", bf16: bool = False) -> float:
-    """Returns steady-state edges/s for one fused edge block.
-
-    kind: "block" = dense block-diagonal fast path; "ell" = sparse
-    neighbour-list (block metadata stripped); "scatter" = naive edge-list
-    gather/scatter baseline (ELL stripped too).
-    """
+def _make_graph(V, E, kind):
     import dataclasses
-    import jax
-    import jax.numpy as jnp
     from mrp_gnn_tpu.graph import batch_fully_connected
-    from mrp_gnn_tpu.models.fusion import default_edge_fusion
-    from mrp_gnn_tpu.ops import dispatch
-
     scenes, robots = V // 8, 8  # 8-robot swarm scenes
     gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
     if kind in ("ell", "scatter"):  # strip the dense block fast path
@@ -48,96 +49,136 @@ def bench_edge_block(ops_impl: str, V, E, D, dk, iters, warmup,
         gb = dataclasses.replace(gb, ell_src=None, ell_mask=None,
                                  bsp_pair_dst=None, bsp_pair_src=None,
                                  bsp_pair_first=None, bsp_pair_last=None,
+                                 bsp_pair_dst_t=None, bsp_pair_src_t=None,
+                                 bsp_pair_first_t=None, bsp_pair_last_t=None,
                                  bsp_tile=0)
-    ops = dispatch.get_ops(ops_impl)
+    return gb
 
+
+def _rand_qkv(V, D, dk, bf16):
+    import jax.numpy as jnp
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)).astype(dtype)
+    return q, k, v
 
-    # Chain `iters` applications inside ONE jitted scan (output feeds the
-    # next call's values — attention output is a convex combination of the
-    # values, so the chain stays bounded) so per-dispatch overhead —
-    # substantial on the tunneled axon platform — amortizes away and we time
-    # the op itself.
+
+def make_edge_block_bench(ops_impl, V, E, D, dk, iters, kind="block",
+                          bf16=False, train=False):
+    """Returns (timed_fn, edges_per_call): timed_fn() runs one compiled
+    chain of ``iters`` edge-block applications and returns elapsed seconds.
+
+    train=True times the GRADIENT direction: each chain link computes
+    grad of a scalar loss of the edge block w.r.t. the values and feeds the
+    gradient forward (data-dependent, so the chain cannot be elided).
+    """
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+
+    gb = _make_graph(V, E, kind)
+    ops = dispatch.get_ops(ops_impl)
+    q, k, v = _rand_qkv(V, D, dk, bf16)
+
+    if train:
+        def link(q, k, vq):
+            loss = lambda vv: jnp.sum(
+                default_edge_fusion(ops, "attention", q, k, vv, gb)
+                .astype(jnp.float32) ** 2)
+            return jax.grad(loss)(vq).astype(vq.dtype)
+    else:
+        def link(q, k, vq):
+            return default_edge_fusion(ops, "attention", q, k, vq,
+                                       gb).astype(vq.dtype)
+
     def chained(q, k, v):
-        def body(v, _):
-            out = default_edge_fusion(ops, "attention", q, k, v, gb)
-            return out.astype(v.dtype), ()
-        v, _ = jax.lax.scan(body, v, None, length=iters)
-        return v
+        return jax.lax.scan(lambda c, _: (link(q, k, c), ()), v, None,
+                            length=iters)[0]
 
     fn = jax.jit(chained)
     jax.block_until_ready(fn(q, k, v))  # compile + warm
-    reps = max(warmup // 2, 3)
-    best = float("inf")
-    for _ in range(reps):
+
+    def timed():
         t0 = time.perf_counter()
-        out = fn(q, k, v)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    edges = int(np.asarray(gb.n_edges))
-    return edges * iters / best
+        jax.block_until_ready(fn(q, k, v))
+        return time.perf_counter() - t0
+
+    return timed, int(np.asarray(gb.n_edges)) * iters
 
 
-def bench_partitioned_local(ops_impl: str, V, E, D, dk, iters,
-                            bf16: bool = True) -> float:
-    """Per-chip throughput of the PARTITIONED edge block's local path
-    (parallel/fused.py) on a 1-device graph mesh: all edges local, halo
-    no-ops — measures what each shard of config 5 sustains between
+def make_partitioned_local_bench(ops_impl, V, E, D, dk, iters, bf16=True,
+                                 check=False):
+    """Partitioned (config 5) edge block's local path on a 1-device graph
+    mesh: all edges local, halo no-ops — what each shard sustains between
     exchanges. The pallas backend routes the local aggregate through the
-    tile-block-sparse SpMM kernel."""
-    import dataclasses
+    tile-block-sparse SpMM kernel INSIDE shard_map (CPU interpret mode
+    cannot run that combination, so check=True is this combination's only
+    automated correctness gate — values AND grads vs the unpartitioned
+    oracle on the real chip)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
     from mrp_gnn_tpu.ops import dispatch
     from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
     from mrp_gnn_tpu.parallel.partition import partition_graph
 
-    scenes, robots = V // 8, 8
-    gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
-    gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)  # sparse league
+    gb = _make_graph(V, E, "ell")
     plan = partition_graph(gb, 1)
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "graph"))
     ops = dispatch.get_ops(ops_impl)
     edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    q, k, v = _rand_qkv(V, D, dk, bf16)
+    v = jax.device_put(v, NamedSharding(mesh, P(("data", "graph"))))
 
-    rng = np.random.default_rng(0)
-    dtype = jnp.bfloat16 if bf16 else jnp.float32
-    q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
-    v = jax.device_put(
-        jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)).astype(dtype),
-        NamedSharding(mesh, P(("data", "graph"))))
+    if check:
+        oracle_ops = dispatch.get_ops("xla")
+        got = jax.jit(lambda q, k, v: edge_fn(ops, "attention", q, k, v,
+                                              gb))(q, k, v)
+        want = jax.jit(lambda q, k, v: default_edge_fusion(
+            oracle_ops, "attention", q, k, v, gb))(q, k, v)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        tol = 0.05 if bf16 else 1e-3
+        assert err < tol, f"partitioned-{ops_impl} forward mismatch: {err}"
+        g_got = jax.jit(jax.grad(lambda v: jnp.sum(
+            edge_fn(ops, "attention", q, k, v, gb)
+            .astype(jnp.float32) ** 2)))(v)
+        g_want = jax.jit(jax.grad(lambda v: jnp.sum(default_edge_fusion(
+            oracle_ops, "attention", q, k, v, gb)
+            .astype(jnp.float32) ** 2)))(v)
+        gerr = float(jnp.max(jnp.abs(g_got.astype(jnp.float32)
+                                     - g_want.astype(jnp.float32))))
+        gtol = (0.05 if bf16 else 1e-3) * max(
+            1.0, float(jnp.max(jnp.abs(g_want.astype(jnp.float32)))))
+        assert gerr < gtol, f"partitioned-{ops_impl} grad mismatch: {gerr}"
+        log(f"chip check partitioned_{ops_impl} vs oracle: "
+            f"fwd_err={err:.2e} grad_err={gerr:.2e} OK")
 
     def chained(q, k, v):
-        def body(v, _):
-            return edge_fn(ops, "attention", q, k, v, gb).astype(v.dtype), ()
+        def body(c, _):
+            return edge_fn(ops, "attention", q, k, c, gb).astype(c.dtype), ()
         return jax.lax.scan(body, v, None, length=iters)[0]
 
     fn = jax.jit(chained)
     jax.block_until_ready(fn(q, k, v))
-    best = float("inf")
-    for _ in range(3):
+
+    def timed():
         t0 = time.perf_counter()
         jax.block_until_ready(fn(q, k, v))
-        best = min(best, time.perf_counter() - t0)
-    return int(np.asarray(gb.n_edges)) * iters / best
+        return time.perf_counter() - t0
+
+    return timed, int(np.asarray(gb.n_edges)) * iters
 
 
-def measure_stream_bw(V: int, D: int, iters: int) -> float:
-    """Empirical HBM stream bandwidth (bytes/s) via a chained row-permute.
-
-    A data-dependent gather chain cannot be fused away, so per-iter time is
-    a true read+write of the [V, D] bf16 buffer. Single-dispatch timing is
-    unreliable over the axon tunnel (results appear cached); the chain
-    matches the methodology of the edge-block measurement, so the roofline
-    fraction is apples-to-apples.
-    """
+def make_stream_probe(V, D, iters):
+    """Empirical HBM stream bandwidth probe (bytes/s) via a chained
+    row-permute — a data-dependent gather chain cannot be fused away, so
+    per-iter time is a true read+write of the [V, D] bf16 buffer. One probe
+    opens every bench round; its reading gates round acceptance."""
     import jax
     import jax.numpy as jnp
     v = jnp.ones((V, D), jnp.bfloat16)
@@ -149,20 +190,50 @@ def measure_stream_bw(V: int, D: int, iters: int) -> float:
 
     fn = jax.jit(chained)
     jax.block_until_ready(fn(v))
-    best = float("inf")
-    for _ in range(3):
+    nbytes = 2 * V * D * 2 * iters
+
+    def probe():
         t0 = time.perf_counter()
         jax.block_until_ready(fn(v))
-        best = min(best, time.perf_counter() - t0)
-    return 2 * V * D * 2 * iters / best
+        return nbytes / (time.perf_counter() - t0)
+
+    return probe
+
+
+def run_rounds(benches, probe, rounds, reject_frac=0.8):
+    """Interleave all variants round-robin for `rounds` rounds; reject a
+    whole round when its stream-bandwidth probe is below reject_frac of the
+    best probe seen. Returns ({name: best edges/s}, best_bw)."""
+    times = {name: [] for name in benches}
+    bws = []
+    for r in range(rounds):
+        bw = probe()
+        bws.append(bw)
+        for name, (timed, _) in benches.items():
+            times[name].append(timed())
+        log(f"round {r}: stream={bw/1e9:,.1f} GB/s  " + "  ".join(
+            f"{n}={times[n][-1] * 1e3:,.0f}ms" for n in benches))
+    best_bw = max(bws)
+    ok = [i for i, bw in enumerate(bws) if bw >= reject_frac * best_bw]
+    rejected = [i for i in range(rounds) if i not in ok]
+    if rejected:
+        log(f"rejected rounds {rejected} (stream probe <{reject_frac:.0%} "
+            f"of best {best_bw/1e9:,.1f} GB/s)")
+    results = {}
+    for name, (_, edges) in benches.items():
+        acc = [times[name][i] for i in ok]
+        results[name] = edges / min(acc)
+    return results, best_bw
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=50)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--nodes", type=int, default=8192)
     p.add_argument("--feature_dim", type=int, default=2048)
+    p.add_argument("--skip_train", action="store_true",
+                   help="skip the fwd+bwd training-direction variants")
     args = p.parse_args()
 
     import jax
@@ -172,50 +243,77 @@ def main():
     D = args.feature_dim
     E = V * 7  # 8-robot fully-connected scenes: 56 edges per 8 nodes
 
-    results = {}
     # leagues: *_block = dense block-diagonal; *_ell = sparse neighbour-list
     # (the pallas ELL path routes through the tile-block-sparse fused
-    # kernels, ops/pallas_bsp.py); xla_sparse = naive edge-list baseline.
-    variants = [("xla_sparse", "xla", "scatter", False),
-                ("xla_ell", "xla", "ell", False),
-                ("pallas_ell_bf16", "pallas", "ell", True),
-                ("xla_block_bf16", "xla", "block", True),
-                ("pallas_block_bf16", "pallas", "block", True)]
-    for name, impl, kind, bf16 in variants:
+    # kernels, ops/pallas_bsp.py); xla_sparse = naive edge-list baseline;
+    # train_* = gradient direction (fwd+bwd; Pallas backward kernel tier
+    # vs XLA scatter math).
+    specs = [("xla_sparse", "xla", "scatter", False, False),
+             ("xla_ell", "xla", "ell", False, False),
+             ("pallas_ell_bf16", "pallas", "ell", True, False),
+             ("xla_block_bf16", "xla", "block", True, False),
+             ("pallas_block_bf16", "pallas", "block", True, False)]
+    if not args.skip_train:
+        specs += [("train_xla_ell_bf16", "xla", "ell", True, True),
+                  ("train_pallas_ell_bf16", "pallas", "ell", True, True)]
+
+    benches = {}
+    for name, impl, kind, bf16, train in specs:
         try:
-            eps = bench_edge_block(impl, V, E, D, dk, args.iters, args.warmup,
-                                   kind=kind, bf16=bf16)
-            results[name] = eps
-            log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
+            benches[name] = make_edge_block_bench(
+                impl, V, E, D, dk, args.iters, kind=kind, bf16=bf16,
+                train=train)
+            log(f"compiled {name}")
         except Exception as e:
             log(f"{name}: unavailable ({type(e).__name__}: {e})")
 
-    # Diagnostics: the partitioned (config 5) edge block's per-chip local
-    # path — the rate each shard sustains between boundary exchanges.
+    # Partitioned (config 5) local path, including the on-chip correctness
+    # gate for BSP-inside-shard_map (pallas only; xla for the ratio).
+    on_tpu = jax.default_backend() == "tpu"
     for impl in ("xla", "pallas"):
         try:
-            eps = bench_partitioned_local(impl, V, E, D, dk, args.iters,
-                                          bf16=True)
-            log(f"partitioned_local_{impl}_bf16: {eps:,.0f} edges/s")
+            benches[f"part_{impl}_bf16"] = make_partitioned_local_bench(
+                impl, V, E, D, dk, args.iters, bf16=True,
+                check=(on_tpu and impl == "pallas"))
+            log(f"compiled part_{impl}_bf16")
         except Exception as e:
-            log(f"partitioned_local_{impl}_bf16: unavailable "
-                f"({type(e).__name__}: {e})")
+            log(f"part_{impl}_bf16: unavailable ({type(e).__name__}: {e})")
 
-    # Roofline from MEASURED stream bandwidth (the axon-tunneled chip
-    # delivers far below the v5e spec sheet's 819 GB/s — see
-    # scripts/hw_probe.py): the gather formulation reads E*D bf16 bytes of
-    # source values; the block-dense formulation reads each value row once
-    # (V*D read + V*D write) -- its edge rate is E/V times the row rate.
-    hbm = measure_stream_bw(V, D, args.iters)
-    log(f"measured stream bandwidth: {hbm/1e9:,.1f} GB/s")
+    probe = make_stream_probe(V, D, args.iters)
+    results, hbm = run_rounds(benches, probe, args.rounds)
+    for name, eps in sorted(results.items(), key=lambda kv: -kv[1]):
+        log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
+
+    # Roofline from the best MEASURED stream bandwidth (the axon-tunneled
+    # chip delivers far below the v5e spec's 819 GB/s — scripts/hw_probe.py):
+    # the gather formulation reads E*D bf16 bytes of source values; the
+    # block-dense formulation reads each value row once (V*D read + V*D
+    # write) -- its edge rate is E/V times the row rate.
+    log(f"best stream bandwidth: {hbm/1e9:,.1f} GB/s")
     sol_gather = hbm / (D * 2)
     sol_block = hbm / (2 * V * D * 2 / E)
     log(f"bf16 roofline gather: {sol_gather:,.0f} edges/s; "
         f"block-dense: {sol_block:,.0f} edges/s")
 
-    best_impl = max(results, key=results.get)
-    best = results[best_impl]
-    vs = best / results.get("xla_sparse", best)
+    # league ratios (stderr diagnostics)
+    def ratio(a, b):
+        return results[a] / results[b] if a in results and b in results else None
+    for tag, a, b in [("sparse league pallas/xla", "pallas_ell_bf16", "xla_ell"),
+                      ("dense league pallas/xla", "pallas_block_bf16",
+                       "xla_block_bf16"),
+                      ("train pallas/xla", "train_pallas_ell_bf16",
+                       "train_xla_ell_bf16"),
+                      ("partitioned pallas/xla", "part_pallas_bf16",
+                       "part_xla_bf16")]:
+        r = ratio(a, b)
+        if r:
+            log(f"{tag}: {r:.2f}x")
+
+    headline = {k: v for k, v in results.items()
+                if not k.startswith(("train_", "part_"))}
+    best_impl = max(headline, key=headline.get)
+    best = headline[best_impl]
+    vs = best / headline.get("xla_sparse", best)
     log(f"best={best_impl} fraction_of_block_roofline={best / sol_block:.3f}")
     print(json.dumps({
         "metric": f"fusion_edge_block_edges_per_s_{best_impl}",

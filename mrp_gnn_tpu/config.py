@@ -188,6 +188,7 @@ def _preset_five_robot_attention() -> ExperimentConfig:
                           attention_dim=64, num_seg_classes=0),
         data=DataConfig(num_robots=5, scenes_per_batch=4, image_size=(64, 64)),
         train=TrainConfig(steps=1000),
+        parallel=ParallelConfig(ops_impl="auto"),
     )
 
 
@@ -202,6 +203,7 @@ def _preset_multitask_batched() -> ExperimentConfig:
         data=DataConfig(num_robots=5, scenes_per_batch=8, image_size=(64, 64),
                         num_seg_classes=6),
         train=TrainConfig(steps=1000, seg_loss_weight=0.5),
+        parallel=ParallelConfig(ops_impl="auto"),
     )
 
 
@@ -224,7 +226,7 @@ def _preset_swarm_partitioned() -> ExperimentConfig:
                         comm_radius=4),
         train=TrainConfig(steps=1000, seg_loss_weight=0.5),
         parallel=ParallelConfig(data_axis_size=1, graph_axis_size=8,
-                                ops_impl="xla"),
+                                ops_impl="auto"),
     )
 
 
@@ -244,7 +246,7 @@ def _preset_dynamic_swarm() -> ExperimentConfig:
                         num_seg_classes=6, connectivity="radius",
                         comm_radius=4, mobility=1.5),
         train=TrainConfig(steps=1000, seg_loss_weight=0.5),
-        parallel=ParallelConfig(ops_impl="pallas"),
+        parallel=ParallelConfig(ops_impl="auto"),
     )
 
 

@@ -94,7 +94,20 @@ def _pallas_ops() -> EdgeOps:
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}
 
 
+def resolve_impl(impl: str) -> str:
+    """"auto" picks the winning backend for the platform: the Pallas
+    tile-block-sparse kernels on TPU (they own the sparse league on chip —
+    BASELINE.md), the XLA reference ops on CPU (where Pallas only has slow
+    interpret mode)."""
+    if impl != "auto":
+        return impl
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def get_ops(impl: str = "xla") -> EdgeOps:
+    impl = resolve_impl(impl)
     if impl not in _BACKENDS:
-        raise ValueError(f"unknown ops impl {impl!r}; choose from {sorted(_BACKENDS)}")
+        raise ValueError(f"unknown ops impl {impl!r}; choose from "
+                         f"{sorted(_BACKENDS)} or 'auto'")
     return _BACKENDS[impl]()
