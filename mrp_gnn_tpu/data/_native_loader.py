@@ -54,6 +54,11 @@ def load_verified(lib_path: str, src_path: str, build, smoke_code: str):
     smoke_code: python source for the subprocess check; receives the library
       path as sys.argv[1] and must exit 0 iff a real call succeeds.
     """
+    # GOMP's default ACTIVE wait policy spin-waits at barriers; with OMP
+    # threads == cpu count plus a busy Python main thread the box is
+    # oversubscribed and a 2 ms parallel region measured 32 ms (15x) here.
+    # Passive waiting costs a wakeup, which is noise at these region sizes.
+    os.environ.setdefault("OMP_WAIT_POLICY", "passive")
     fresh = False
     if not os.path.exists(lib_path) or (
             os.path.exists(src_path)

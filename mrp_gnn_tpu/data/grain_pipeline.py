@@ -20,7 +20,12 @@ from mrp_gnn_tpu.graph import batch_homogeneous, scene_edges_for
 
 
 class _Collate:
-    """grain MapTransform: list of scene records -> one padded node batch."""
+    """grain MapTransform: list of scene records -> one padded node batch.
+
+    Dynamic topology (cfg.mobility > 0): the per-scene robot positions are
+    passed through un-padded ([B, N]) so the host-side iterator (after the
+    grain worker boundary — GraphBatch pytrees must not cross process
+    forks) can build the per-batch radius graph from them."""
 
     def __init__(self, cfg: DataConfig):
         n = cfg.num_robots
@@ -31,6 +36,7 @@ class _Collate:
             max_edges=cfg.max_edges
             or max(cfg.scenes_per_batch * edges.shape[1], 1))
         self.max_nodes = self.graph.max_nodes
+        self.dynamic = getattr(cfg, "mobility", 0.0) > 0
 
     def _pad(self, arr):
         pad = self.max_nodes - arr.shape[0]
@@ -46,12 +52,20 @@ class _Collate:
             return self._pad(arr.reshape((-1,) + arr.shape[2:]))
 
         if isinstance(batch, dict):
-            return {k: flat(batch[k]) for k in ("images", "depth", "seg")}
-        return {  # list of records (older grain Batch semantics)
-            "images": self._pad(np.concatenate([s["images"] for s in batch])),
-            "depth": self._pad(np.concatenate([s["depth"] for s in batch])),
-            "seg": self._pad(np.concatenate([s["seg"] for s in batch])),
-        }
+            out = {k: flat(batch[k]) for k in ("images", "depth", "seg")}
+            if self.dynamic:
+                out["positions"] = np.asarray(batch["positions"])  # [B, N]
+        else:  # list of records (older grain Batch semantics)
+            out = {
+                "images": self._pad(np.concatenate(
+                    [s["images"] for s in batch])),
+                "depth": self._pad(np.concatenate(
+                    [s["depth"] for s in batch])),
+                "seg": self._pad(np.concatenate([s["seg"] for s in batch])),
+            }
+            if self.dynamic:
+                out["positions"] = np.stack([s["positions"] for s in batch])
+        return out
 
 
 def make_grain_iterator(cfg: DataConfig, split: str = "train",
@@ -75,6 +89,16 @@ def make_grain_iterator(cfg: DataConfig, split: str = "train",
 
     collate = _Collate(cfg)
     graph = collate.graph
+    graph_builder = None
+    if collate.dynamic:
+        from mrp_gnn_tpu.data.pipeline import DynamicGraphBuilder
+        if not hasattr(ds, "spec"):
+            raise ValueError("dynamic topology needs the synthetic dataset "
+                             "(scene records carry robot positions)")
+        graph_builder = DynamicGraphBuilder(
+            cfg, collate.max_nodes,
+            spacing=ds.spec.max_baseline / max(cfg.num_robots - 1, 1))
+        graph = graph_builder.nominal_graph()
 
     class _CollateTransform(gp.MapTransform):
         def map(self, element):
@@ -97,7 +121,7 @@ def make_grain_iterator(cfg: DataConfig, split: str = "train",
         worker_count=workers if workers is not None else cfg.loader_workers,
     )
 
-    return GrainBatchIterator(loader, graph)
+    return GrainBatchIterator(loader, graph, graph_builder)
 
 
 class GrainBatchIterator:
@@ -107,16 +131,24 @@ class GrainBatchIterator:
     discarding every skipped batch (train.py passes the state through
     CheckpointManager)."""
 
-    def __init__(self, loader, graph):
+    def __init__(self, loader, graph, graph_builder=None):
         self.graph = graph
         self._it = iter(loader)
+        self._graph_builder = graph_builder
 
     def __iter__(self):
         return self
 
     def __next__(self) -> dict:
         batch = next(self._it)
-        batch["graph"] = self.graph
+        if self._graph_builder is not None:
+            # dynamic topology: per-batch radius graph from the positions
+            # collated through the worker boundary (train.py wraps this
+            # iterator in a TransformIterator so the build runs off the
+            # training thread)
+            batch["graph"] = self._graph_builder(batch.pop("positions"))
+        else:
+            batch["graph"] = self.graph
         return batch
 
     def get_state(self) -> str:

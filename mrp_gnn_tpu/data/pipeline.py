@@ -130,6 +130,115 @@ def _pad_nodes(arr: np.ndarray, max_nodes: int) -> np.ndarray:
     return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
 
+class DynamicGraphBuilder:
+    """Per-batch GraphBatch builder for dynamic topologies (mobility > 0).
+
+    Shared by the builtin BatchIterator and the grain pipeline: derives the
+    pinned capacities (full-connectivity upper bound) once, then builds a
+    capacity-padded radius graph from each batch's robot positions — every
+    batch shares one set of array shapes, so one jit compile serves the
+    stream. Positions arrive in metres and are normalized to index units by
+    the baseline spacing (see radius_edges / data/synthetic.py).
+    """
+
+    def __init__(self, cfg: DataConfig, max_nodes: int, spacing: float,
+                 scenes_per_batch: int | None = None):
+        from mrp_gnn_tpu.graph import batch_fully_connected
+        if cfg.connectivity != "radius":
+            raise ValueError("mobility > 0 needs connectivity='radius' "
+                             "(dynamic topology is a communication-range "
+                             "property)")
+        n = cfg.num_robots
+        self.num_robots = n
+        self.scenes_per_batch = scenes_per_batch or cfg.scenes_per_batch
+        self.spacing = spacing
+        self.radius = float(cfg.comm_radius)
+        # Capacity superset: edges can only be a subset of the full
+        # per-scene graph, so the full batch's tile-pair plan length
+        # bounds every dynamic plan.
+        full = batch_fully_connected(self.scenes_per_batch, n,
+                                     max_nodes=max_nodes)
+        self.caps = dict(
+            max_nodes=max_nodes,
+            max_edges=self.scenes_per_batch * n * max(n - 1, 1),
+            max_degree=max(n - 1, 1),
+            max_bsp_pairs=int(full.bsp_pair_dst.shape[0]),
+            backend=getattr(cfg, "graph_builder", "auto"),
+        )
+
+    def nominal_graph(self):
+        """First-batch/init graph with the stream's shapes: nominal
+        (un-jittered) positions in index units."""
+        from mrp_gnn_tpu.graph import batch_from_positions
+        nominal = np.arange(self.num_robots, dtype=np.float64)
+        return batch_from_positions([nominal] * self.scenes_per_batch,
+                                    self.radius, **self.caps)
+
+    def __call__(self, positions):
+        """positions: [B, N] array or list of [N] arrays, in metres."""
+        from mrp_gnn_tpu.graph import batch_from_positions
+        pos = [np.asarray(p, np.float64) / self.spacing for p in positions]
+        return batch_from_positions(pos, self.radius, **self.caps)
+
+
+class TransformIterator:
+    """Applies a per-batch transform on a producer thread.
+
+    Moves host-side per-batch work (dynamic graph builds, partition-plan
+    attachment) OFF the training thread so it overlaps device compute, while
+    preserving exact iterator-state checkpointing: the inner iterator's
+    get_state() is captured alongside each batch, and get_state() here
+    returns the snapshot of the batch most recently handed to the consumer —
+    so a restore replays from exactly the next unseen batch even though the
+    producer ran ahead.
+    """
+
+    def __init__(self, it, transform, depth: int = 2):
+        import queue
+        import threading
+        self._it = it
+        self._tf = transform
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._last_state = None
+        self._has_state = hasattr(it, "get_state")
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        while not self._stop.is_set():
+            try:
+                batch = next(self._it)
+                state = self._it.get_state() if self._has_state else None
+                item = (state, self._tf(batch))
+            except BaseException as e:  # noqa: BLE001 — relayed in __next__
+                self._q.put(e)
+                return
+            self._q.put(item)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            if isinstance(item, StopIteration):
+                raise StopIteration from item
+            raise item
+        self._last_state, batch = item
+        return batch
+
+    def get_state(self):
+        return self._last_state
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._q.get_nowait()  # unblock the producer if it is waiting
+        except Exception:
+            pass
+
+
 class BatchIterator:
     """Yields padded node-flattened batches.
 
@@ -163,35 +272,15 @@ class BatchIterator:
         self._scene_edges = edges
         self._dynamic = getattr(cfg, "mobility", 0.0) > 0
         if self._dynamic:
-            if cfg.connectivity != "radius":
-                raise ValueError("mobility > 0 needs connectivity='radius' "
-                                 "(dynamic topology is a communication-range "
-                                 "property)")
             if not hasattr(dataset, "spec"):
                 raise ValueError("dynamic topology needs the synthetic "
                                  "dataset (scene records carry robot "
                                  "positions)")
-            from mrp_gnn_tpu.graph import batch_fully_connected
-            self._spacing = dataset.spec.max_baseline / max(n - 1, 1)
-            # Capacity superset: edges can only be a subset of the full
-            # per-scene graph, so the full batch's tile-pair plan length
-            # bounds every dynamic plan.
-            full = batch_fully_connected(scenes_per_batch, n,
-                                         max_nodes=self.max_nodes)
-            self._dyn_caps = dict(
-                max_nodes=self.max_nodes,
-                max_edges=scenes_per_batch * n * max(n - 1, 1),
-                max_degree=max(n - 1, 1),
-                max_bsp_pairs=int(full.bsp_pair_dst.shape[0]),
-                backend=getattr(cfg, "graph_builder", "auto"),
-            )
-            self._radius = float(cfg.comm_radius)
-            # first-batch/init graph with the dynamic stream's shapes:
-            # nominal (un-jittered) positions in index units.
-            from mrp_gnn_tpu.graph import batch_from_positions
-            nominal = np.arange(n, dtype=np.float64)
-            self.graph = batch_from_positions(
-                [nominal] * scenes_per_batch, self._radius, **self._dyn_caps)
+            self._graph_builder = DynamicGraphBuilder(
+                cfg, self.max_nodes,
+                spacing=dataset.spec.max_baseline / max(n - 1, 1),
+                scenes_per_batch=scenes_per_batch)
+            self.graph = self._graph_builder.nominal_graph()
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -231,11 +320,7 @@ class BatchIterator:
                         [self.seed + 1, epoch, int(i)]))
                     for s, i in zip(scenes, idxs)]
             if self._dynamic:
-                from mrp_gnn_tpu.graph import batch_from_positions
-                pos = [np.asarray(s["positions"], np.float64) / self._spacing
-                       for s in scenes]
-                graph = batch_from_positions(pos, self._radius,
-                                             **self._dyn_caps)
+                graph = self._graph_builder([s["positions"] for s in scenes])
             else:
                 graph = self.graph
                 if len(scenes) < self.bs:
@@ -326,11 +411,6 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
     .latest_data_state()) — O(1) seek for the grain loader.
     """
     if cfg.loader == "grain":
-        if getattr(cfg, "mobility", 0.0) > 0:
-            raise NotImplementedError(
-                "dynamic topology (mobility > 0) is implemented in the "
-                "builtin loader; the grain pipeline batches with a fixed "
-                "graph (data/grain_pipeline.py)")
         from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
         it = make_grain_iterator(cfg, "train")
         if data_state is not None:

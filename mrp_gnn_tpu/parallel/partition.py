@@ -433,11 +433,21 @@ def partition_batch(graph: GraphBatch, num_replicas: int, num_shards: int,
         raise ValueError("an edge crosses data-replica node blocks — scenes "
                          "must divide contiguously over replicas")
 
+    from mrp_gnn_tpu.data import graph_native
     per = []
     for r in range(num_replicas):
         sel = rep == r
-        per.append(_plan_arrays(src[sel] - r * v_rep, dst[sel] - r * v_rep,
-                                nps, num_shards, pad_multiple, capacities))
+        rs, rd = src[sel] - r * v_rep, dst[sel] - r * v_rep
+        # Per-batch dynamic plans sit on the input-pipeline critical path at
+        # swarm scale; the native C++ builder (graphbuild.cc
+        # mrp_build_partition_plan) produces bit-identical arrays
+        # (tests/test_graph_native.py) ~10x faster than the numpy loops.
+        arrs = graph_native.partition_plan_arrays_native(
+            rs, rd, nps, num_shards, capacities)
+        if arrs is None:
+            arrs = _plan_arrays(rs, rd, nps, num_shards, pad_multiple,
+                                capacities)
+        per.append(arrs)
     stacked = {}
     for k, v0 in per[0].items():
         if k in ("deltas", "delta_rows", "bsp_tile"):

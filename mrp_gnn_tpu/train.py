@@ -107,10 +107,20 @@ def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
         else:
             # images/depth/seg carry a leading [accum] microbatch axis; one
             # scan accumulates grads on-device, then a single optimizer step.
+            # Dynamic topology stacks the per-microbatch GRAPHS too (the
+            # stacker; shapes are capacity-pinned), so the scan carries the
+            # graph in xs and each microbatch aggregates under its own
+            # topology; static topology keeps the single shared graph closed
+            # over (detected statically by the stacked n_nodes rank).
+            stacked_graphs = jnp.ndim(graph.n_nodes) > 0
+            g0 = (jax.tree_util.tree_map(lambda x: x[0], graph)
+                  if stacked_graphs else graph)
+
             def micro(carry, xs):
                 g_sum, t_sum = carry
-                im, dp, sg = xs
-                (_, terms), g = grads_of(state.params, im, dp, sg, graph)
+                im, dp, sg = xs[:3]
+                gr = xs[3] if stacked_graphs else graph
+                (_, terms), g = grads_of(state.params, im, dp, sg, gr)
                 return (jax.tree_util.tree_map(jnp.add, g_sum, g),
                         jax.tree_util.tree_map(jnp.add, t_sum, terms)), ()
 
@@ -118,9 +128,11 @@ def make_train_step(cfg: ExperimentConfig, model: MultiRobotPerceptionNet,
             zeros_t = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 jax.eval_shape(lambda p: grads_of(
-                    p, images[0], depth[0], seg[0], graph)[0][1], state.params))
+                    p, images[0], depth[0], seg[0], g0)[0][1], state.params))
+            xs = ((images, depth, seg, graph) if stacked_graphs
+                  else (images, depth, seg))
             (g_sum, t_sum), _ = jax.lax.scan(
-                micro, (zeros_g, zeros_t), (images, depth, seg))
+                micro, (zeros_g, zeros_t), xs)
             grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
             terms = jax.tree_util.tree_map(lambda t: t / accum, t_sum)
 
@@ -214,11 +226,23 @@ class _MicrobatchStacker:
                for k in ("images", "depth", "seg")}
         for k in out:
             out[k][0] = b0[k]
+        graphs = [b0["graph"]]
         for i in range(1, self._accum):
             b = next(self._it)
             for k in out:
                 out[k][i] = b[k]
-        out["graph"] = b0["graph"]
+            graphs.append(b["graph"])
+        if all(g is graphs[0] for g in graphs[1:]):
+            # static topology: the pipeline reuses one GraphBatch object
+            out["graph"] = graphs[0]
+        else:
+            # dynamic topology: stack per-microbatch graphs (and their
+            # attached partition plans) on a leading [accum] axis; shapes
+            # are batch-invariant under the stream's pinned capacities, and
+            # the train step scans over the stacked graph (stacked_graphs
+            # in make_train_step).
+            out["graph"] = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *graphs)
         return out
 
     def _fill(self):
@@ -258,29 +282,45 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     """Run training; returns (final TrainState, list of logged records)."""
     steps = num_steps if num_steps is not None else cfg.train.steps
     accum = max(cfg.train.grad_accum_steps, 1)
+    pctx = make_parallel(cfg)
+
+    def _wrap_stream(base):
+        """Assemble the batch stream: a TransformIterator attaching the
+        per-batch partition plan on a PRODUCER thread (dynamic partitioned
+        topologies — keeps the O(plan build) host work off the step critical
+        path), then microbatch stacking. Returns (iterator, state handle):
+        the handle carries get_state() aligned with consumed batches."""
+        raw = base
+        if pctx is not None and pctx.dyn_caps is not None:
+            from mrp_gnn_tpu.data.pipeline import TransformIterator
+            raw = TransformIterator(
+                base, lambda b: {**b, "graph": pctx.attach_plan(b["graph"])})
+        return (_MicrobatchStacker(raw, accum) if accum > 1 else raw), raw
+
+    def _close_stream(it, raw):
+        for h in (it, raw):
+            if hasattr(h, "close"):
+                h.close()
+
     if data_iter is not None:
-        it = data_iter
+        base = data_iter
     else:
         from mrp_gnn_tpu.data.pipeline import make_train_iterator
-        it = make_train_iterator(cfg.data)
-    raw_it = it  # pre-stacking handle: carries get_state() for grain
-    if accum > 1:
-        if getattr(cfg.data, "mobility", 0.0) > 0:
-            raise NotImplementedError(
-                "grad accumulation stacks microbatches under one graph; "
-                "dynamic topology (mobility > 0) yields a different graph "
-                "per batch — use grad_accum_steps=1 with dynamic swarms")
-        it = _MicrobatchStacker(it, accum)
+        base = make_train_iterator(cfg.data)
+    it, raw_it = _wrap_stream(base)
     first = next(it)
 
-    pctx = make_parallel(cfg)
-    if pctx is not None:
-        # dynamic topology + graph partitioning: the per-batch plan must be
-        # on the graph before model init traces the partitioned edge_fn
-        first = {**first, "graph": pctx.attach_plan(first["graph"])}
     rng = jax.random.PRNGKey(cfg.train.seed)
+
+    def _graph0(graph):
+        """First microbatch's graph when graphs are stacked (dynamic +
+        accumulation); the shared graph otherwise."""
+        if np.ndim(np.asarray(graph.n_nodes)) > 0:
+            return jax.tree_util.tree_map(lambda x: x[0], graph)
+        return graph
+
     init_batch = first if accum == 1 else {"images": first["images"][0],
-                                           "graph": first["graph"]}
+                                           "graph": _graph0(first["graph"])}
     state, model = create_train_state(
         cfg, rng, init_batch,
         edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
@@ -309,14 +349,10 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                 # O(1) seek via saved iterator state (grain) or epoch/offset
                 # fast-forward (builtin) — never render-and-discard.
                 from mrp_gnn_tpu.data.pipeline import make_train_iterator
-                if isinstance(it, _MicrobatchStacker):
-                    it.close()  # stop the stale pre-resume stacking thread
-                it = make_train_iterator(
+                _close_stream(it, raw_it)  # stop stale pre-resume threads
+                it, raw_it = _wrap_stream(make_train_iterator(
                     cfg.data, start_batch=int(state.step) * accum,
-                    data_state=ckpt_mgr.latest_data_state())
-                raw_it = it
-                if accum > 1:
-                    it = _MicrobatchStacker(it, accum)
+                    data_state=ckpt_mgr.latest_data_state()))
                 batch0 = next(it)
                 first = (pctx.shard_batch(batch0, leading_accum=accum > 1)
                          if pctx else batch0)
@@ -332,8 +368,11 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     best_rmse = float(jax.device_get(state.best_rmse))
     best_step = int(jax.device_get(state.best_step))
     batch = first
-    n_nodes = int(np.asarray(first["graph"].n_nodes)) * accum
-    n_edges = int(np.asarray(first["graph"].n_edges)) * accum
+    nn = np.asarray(first["graph"].n_nodes)
+    ne = np.asarray(first["graph"].n_edges)
+    # stacked dynamic graphs carry per-microbatch counts; sum them
+    n_nodes = int(nn.sum()) if nn.ndim else int(nn) * accum
+    n_edges = int(ne.sum()) if ne.ndim else int(ne) * accum
     t0 = time.perf_counter()
     t_last, step_last = t0, int(state.step)
     start_step = int(state.step)

@@ -88,13 +88,89 @@ def test_dynamic_train_short_run():
     assert int(jax.device_get(state.step)) == 6
 
 
-def test_dynamic_grad_accum_rejected():
+def test_dynamic_grad_accum_trains():
+    """Round 3: dynamic topology composes with gradient accumulation — the
+    stacker stacks per-microbatch graphs (capacity-pinned shapes) and the
+    train step scans over them, each microbatch aggregating under its own
+    topology."""
+    import jax
     from mrp_gnn_tpu.train import train
     cfg = _tiny_cfg()
     cfg = cfg.replace(train=dataclasses.replace(
-        cfg.train, steps=2, grad_accum_steps=2))
-    with pytest.raises(NotImplementedError, match="dynamic topology"):
-        train(cfg)
+        cfg.train, steps=4, log_every=2, eval_every=0, checkpoint_every=0,
+        grad_accum_steps=2))
+    state, recs = train(cfg)
+    assert np.isfinite(recs[-1]["total"])
+    assert int(jax.device_get(state.step)) == 4
+
+
+def test_dynamic_grad_accum_matches_manual_average():
+    """A stacked-graph accumulation step must equal the average of the two
+    single-microbatch gradients applied as one update: run 1 accum=2 step
+    and compare the resulting loss trace start against accum=1 on the same
+    stream consumed pairwise (smoke-level: first-step losses must agree,
+    since both see identical params and the loss is the mean over the
+    microbatch pair)."""
+    from mrp_gnn_tpu.train import train
+    cfg = _tiny_cfg()
+    base = dataclasses.replace(cfg.train, steps=1, log_every=1,
+                               eval_every=0, checkpoint_every=0)
+    cfg_acc = cfg.replace(train=dataclasses.replace(base,
+                                                    grad_accum_steps=2))
+    _, recs_acc = train(cfg_acc)
+    loss_acc = recs_acc[0]["total"]
+    # manual: average the per-microbatch losses of the same first 2 batches
+    from mrp_gnn_tpu.data.pipeline import make_train_iterator
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.losses import total_loss
+    from mrp_gnn_tpu.models import MultiRobotPerceptionNet
+    from mrp_gnn_tpu.train import create_train_state
+    import jax
+    it = make_train_iterator(cfg.data)
+    b0, b1 = next(it), next(it)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, model = create_train_state(cfg, rng, b0)
+    losses = []
+    for b in (b0, b1):
+        out = model.apply(state.params, jnp.asarray(b["images"]), b["graph"])
+        loss, _ = total_loss(out, {"depth": b["depth"], "seg": b["seg"]},
+                             b["graph"].node_mask,
+                             cfg.train.depth_loss_weight,
+                             cfg.train.seg_loss_weight,
+                             depth_loss=cfg.train.depth_loss)
+        losses.append(float(loss))
+    want = float(np.mean(losses))
+    np.testing.assert_allclose(loss_acc, want, rtol=1e-4)
+
+
+def test_dynamic_grain_loader_trains():
+    """Round 3: the grain loader supports dynamic topology — per-batch
+    graphs built from collated robot positions after the worker boundary."""
+    import jax
+    from mrp_gnn_tpu.train import train
+    cfg = _tiny_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, loader="grain",
+                                 loader_workers=0),
+        train=dataclasses.replace(cfg.train, steps=4, log_every=2,
+                                  eval_every=0, checkpoint_every=0))
+    state, recs = train(cfg)
+    assert np.isfinite(recs[-1]["total"])
+    assert int(jax.device_get(state.step)) == 4
+
+
+def test_dynamic_grain_yields_varying_graphs():
+    from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
+    cfg = dataclasses.replace(_tiny_cfg().data, loader_workers=0)
+    it = make_grain_iterator(cfg, "train", shuffle=False)
+    b0, b1 = next(it), next(it)
+    e0, e1 = int(np.asarray(b0["graph"].n_edges)), int(
+        np.asarray(b1["graph"].n_edges))
+    # same static shapes, different topology content
+    assert b0["graph"].edge_src.shape == b1["graph"].edge_src.shape
+    assert (e0 != e1
+            or not np.array_equal(np.asarray(b0["graph"].ell_src),
+                                  np.asarray(b1["graph"].ell_src)))
 
 
 # --- dynamic topology + graph partitioning ----------------------------------
@@ -194,3 +270,22 @@ def test_dynamic_partitioned_train_short_run():
     state, recs = train(cfg)
     assert np.isfinite(recs[-1]["total"])
     assert int(jax.device_get(state.step)) == 4
+
+
+def test_dynamic_partitioned_grad_accum_train():
+    """Full composition: dynamic topology x edge partitioning x gradient
+    accumulation — per-microbatch plans ride the stacked graph pytree into
+    the scanned shard_map step."""
+    import jax
+    from mrp_gnn_tpu.train import train
+    cfg = _tiny_cfg(num_robots=8, scenes_per_batch=4)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps=3, log_every=1,
+                                  eval_every=0, checkpoint_every=0,
+                                  grad_accum_steps=2),
+        parallel=dataclasses.replace(cfg.parallel, data_axis_size=2,
+                                     graph_axis_size=2, ops_impl="xla"),
+    )
+    state, recs = train(cfg)
+    assert np.isfinite(recs[-1]["total"])
+    assert int(jax.device_get(state.step)) == 3

@@ -123,3 +123,55 @@ def test_dynamic_batch_attention_matches_oracle():
     want = R.ell_aggregate(alpha, v, gb.ell_src, gb.ell_mask, "sum")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_native_partition_plan_bit_identical():
+    """The C++ per-batch partition-plan builder (mrp_build_partition_plan)
+    must produce arrays bit-identical to the numpy _plan_arrays path,
+    including the stacked t-plans, under shared capacities."""
+    if not graph_native.is_available():
+        pytest.skip("no native toolchain")
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.parallel import partition as PT
+
+    S, N, P, R = 4, 32, 4, 2
+    V = S * N
+    full_rep = batch_fully_connected(S // R, N, max_nodes=V // R)
+    caps = PT.capacities_of(PT.partition_graph(full_rep, P))
+    gb = batch_from_positions(_positions(S=S, N=N, seed=3), radius=3.0,
+                              max_nodes=V, max_edges=S * N * (N - 1),
+                              max_degree=N - 1,
+                              max_bsp_pairs=int(
+                                  batch_fully_connected(
+                                      S, N,
+                                      max_nodes=V).bsp_pair_dst.shape[0]))
+    plan_nat = PT.partition_batch(gb, num_replicas=R, num_shards=P,
+                                  capacities=caps)
+    orig = graph_native.partition_plan_arrays_native
+    graph_native.partition_plan_arrays_native = lambda *a, **k: None
+    try:
+        plan_np = PT.partition_batch(gb, num_replicas=R, num_shards=P,
+                                     capacities=caps)
+    finally:
+        graph_native.partition_plan_arrays_native = orig
+    for f in dataclasses.fields(plan_nat):
+        a, b = getattr(plan_nat, f.name), getattr(plan_np, f.name)
+        if isinstance(a, (int, tuple)) or a is None:
+            assert a == b, f.name
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f.name
+
+
+def test_native_partition_plan_capacity_errors():
+    if not graph_native.is_available():
+        pytest.skip("no native toolchain")
+    from mrp_gnn_tpu.graph import batch_fully_connected, radius_edges, \
+        batch_homogeneous
+    from mrp_gnn_tpu.parallel import partition as PT
+    # capacities from a SPARSER graph than the batch -> must raise
+    sparse = batch_homogeneous(2, 16, radius_edges(16, 1))
+    caps = PT.capacities_of(PT.partition_graph(sparse, 4))
+    dense = batch_fully_connected(2, 16)
+    with pytest.raises(ValueError):
+        PT.partition_batch(dense, num_replicas=2, num_shards=4,
+                           capacities=caps)
