@@ -69,6 +69,13 @@ class SceneDataset:
                                  self._seed, idx)
         return rec
 
+    def positions(self, idx: int) -> np.ndarray:
+        """Scene camera positions WITHOUT rendering — lets a per-host
+        sharded pipeline build the dynamic graph for scenes other hosts
+        render (degradation never moves cameras, so no degrade replay)."""
+        from mrp_gnn_tpu.data.synthetic import scene_positions
+        return scene_positions(self.spec, self._seed, idx)
+
 
 def degrade_robots(rec: dict, fraction: float, seed: int, idx: int) -> dict:
     """Corrupt a random subset of robots' cameras with heavy sensor noise.
@@ -256,10 +263,18 @@ class BatchIterator:
     def __init__(self, dataset, scenes_per_batch: int,
                  max_nodes: int | None = None, max_edges: int | None = None,
                  shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
-                 augment: bool = False):
+                 augment: bool = False, node_range: tuple | None = None):
         self.ds = dataset
         self.bs = scenes_per_batch
         self.augment = augment
+        # Per-host data sharding (BASELINE.json:5 "without host
+        # bottlenecks"): when set, this process renders ONLY the scenes
+        # whose node rows intersect [lo, hi) of the global padded node axis
+        # and yields node arrays of those rows (plus "node_range" in the
+        # batch so shard_batch assembles the global array from per-process
+        # shards). Graph topology stays global — positions come from the
+        # render-free scene_positions replay for non-local scenes.
+        self.node_range = node_range
         cfg = dataset.cfg
         n = cfg.num_robots
         edges = scene_edges_for(n, cfg.connectivity, cfg.comm_radius)
@@ -269,6 +284,11 @@ class BatchIterator:
             max_edges=max_edges or max(scenes_per_batch * edges.shape[1], 1),
         )
         self.max_nodes = self.graph.max_nodes
+        if node_range is not None:
+            import sys
+            print(f"[pipeline] per-host shard: node rows "
+                  f"[{node_range[0]}, {node_range[1]}) of {self.max_nodes}",
+                  file=sys.stderr, flush=True)
         self._scene_edges = edges
         self._dynamic = getattr(cfg, "mobility", 0.0) > 0
         if self._dynamic:
@@ -311,6 +331,14 @@ class BatchIterator:
         tail = len(order) - (len(order) % self.bs)
         if not self.drop_remainder and tail < len(order) and tail >= skip * self.bs:
             starts.append(tail)  # partial final batch (padded + masked)
+        if self.node_range is not None and tuple(self.node_range) != (
+                0, self.max_nodes):
+            n = self.ds.cfg.num_robots
+            lo, hi = self.node_range
+            for start in starts:
+                yield self._local_batch(order[start:start + self.bs], epoch,
+                                        lo, hi, n)
+            return
         for start in starts:
             idxs = order[start:start + self.bs]
             scenes = [self.ds[int(i)] for i in idxs]
@@ -338,6 +366,47 @@ class BatchIterator:
                 "seg": _pad_nodes(seg, self.max_nodes),
                 "graph": graph,
             }
+
+    def _local_batch(self, idxs, epoch, lo, hi, n):
+        """One per-host batch: render ONLY the scenes whose node rows
+        intersect [lo, hi); positions for the rest come from the
+        render-free replay (SceneDataset.positions) so the dynamic graph
+        stays globally consistent across hosts."""
+        H, W = self.ds.cfg.image_size
+        images = np.zeros((hi - lo, H, W, 3), np.float32)
+        depth = np.zeros((hi - lo, H, W), np.float32)
+        seg = np.zeros((hi - lo, H, W), np.int32)
+        positions = []
+        for bi, idx in enumerate(idxs):
+            a, b = bi * n, (bi + 1) * n
+            oa, ob = max(a, lo), min(b, hi)
+            aug_rng = (np.random.default_rng([self.seed + 1, epoch, int(idx)])
+                       if self.augment else None)
+            if ob > oa:
+                s = self.ds[int(idx)]
+                if aug_rng is not None:
+                    s = augment_scene(s, aug_rng)
+                images[oa - lo:ob - lo] = s["images"][oa - a:ob - a]
+                depth[oa - lo:ob - lo] = s["depth"][oa - a:ob - a]
+                seg[oa - lo:ob - lo] = s["seg"][oa - a:ob - a]
+                if self._dynamic:
+                    positions.append(s["positions"])
+            elif self._dynamic:
+                pos = self.ds.positions(int(idx))
+                # replay augment_scene's FIRST rng draw (the flip decision)
+                if aug_rng is not None and aug_rng.uniform() < 0.5:
+                    pos = (-pos[::-1]).copy()
+                positions.append(pos)
+        if self._dynamic:
+            graph = self._graph_builder(positions)
+        else:
+            graph = self.graph
+            if len(idxs) < self.bs:
+                graph = batch_homogeneous(len(idxs), n, self._scene_edges,
+                                          max_nodes=self.max_nodes,
+                                          max_edges=self.graph.max_edges)
+        return {"images": images, "depth": depth, "seg": seg,
+                "graph": graph, "node_range": (lo, hi)}
 
     def repeat(self):
         while True:
@@ -384,7 +453,8 @@ class PrefetchIterator:
 
 
 def make_dataset(cfg: DataConfig, split: str = "train",
-                 shuffle: bool | None = None) -> BatchIterator:
+                 shuffle: bool | None = None,
+                 node_range: tuple | None = None) -> BatchIterator:
     if cfg.dataset_root:
         from mrp_gnn_tpu.data.disk import DiskSceneDataset
         ds = DiskSceneDataset(cfg, split)
@@ -398,11 +468,13 @@ def make_dataset(cfg: DataConfig, split: str = "train",
         # eval must see every scene: partial final batch padded + masked
         drop_remainder=split == "train",
         augment=cfg.augment and split == "train",
+        node_range=node_range,
     )
 
 
 def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
-                        data_state: str | None = None):
+                        data_state: str | None = None,
+                        node_range: tuple | None = None):
     """Endless training stream; prefetched when cfg.prefetch > 0.
 
     start_batch: resume position in batches (usually the restored step
@@ -411,6 +483,8 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
     .latest_data_state()) — O(1) seek for the grain loader.
     """
     if cfg.loader == "grain":
+        # grain shards RECORDS per process (ShardByJaxProcess); node-range
+        # sharding applies to the builtin pipeline only.
         from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
         it = make_grain_iterator(cfg, "train")
         if data_state is not None:
@@ -419,7 +493,7 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
             for _ in range(start_batch):  # legacy skip-based resume
                 next(it)
         return it
-    it = make_dataset(cfg, "train")
+    it = make_dataset(cfg, "train", node_range=node_range)
     if start_batch:
         it.fast_forward(start_batch)
     if cfg.prefetch > 0:

@@ -51,6 +51,26 @@ def camera_offsets(spec: SceneSpec, rng: np.random.Generator) -> np.ndarray:
     return offsets
 
 
+def scene_positions(spec: SceneSpec, seed: int, scene_index: int) -> np.ndarray:
+    """Camera positions of one scene WITHOUT rendering it.
+
+    Replays exactly generate_scene's world RNG draws (a few dozen scalars)
+    and then the offsets draw, so the result equals
+    ``generate_scene(spec, seed, idx)["positions"]`` — lets a per-host
+    sharded pipeline compute the dynamic communication graph for scenes
+    that OTHER hosts render (parallel/context.py local_node_range)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, scene_index]))
+    K = spec.num_rects
+    rng.uniform(spec.min_depth, spec.max_depth, K)   # depths
+    rng.uniform(0.1, 0.9, K)                         # cx
+    rng.uniform(0.1, 0.9, K)                         # cy
+    rng.uniform(0.12, 0.35, K)                       # rw
+    rng.uniform(0.12, 0.35, K)                       # rh
+    rng.uniform(0.15, 1.0, (K, 3))                   # colors
+    rng.integers(1, spec.num_classes, K)             # classes
+    return camera_offsets(spec, rng).astype(np.float32)
+
+
 def generate_scene(spec: SceneSpec, seed: int, scene_index: int):
     """Render one scene for all robots.
 

@@ -13,6 +13,7 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mrp_gnn_tpu.config import ExperimentConfig
@@ -73,29 +74,70 @@ class ParallelContext:
             shardings = state_shardings(state, self.mesh)
         return jax.tree_util.tree_map(_put, state, shardings)
 
+    def local_node_range(self, V: int):
+        """Contiguous [lo, hi) of the global node axis addressed by THIS
+        process's devices under node_sharding — the rows its data pipeline
+        must materialize. None when the union is not contiguous (then the
+        pipeline must fall back to full-batch rendering)."""
+        if jax.process_count() == 1:
+            return (0, V)
+        idx_map = self.node_sharding.addressable_devices_indices_map((V,))
+        spans = []
+        for idx in idx_map.values():
+            sl = idx[0]
+            spans.append((sl.start or 0,
+                          V if sl.stop is None else sl.stop))
+        lo = min(s for s, _ in spans)
+        hi = max(e for _, e in spans)
+        pos = lo
+        for s, e in sorted(spans):
+            if s > pos:
+                return None  # hole: non-contiguous addressable rows
+            pos = max(pos, e)
+        return (lo, hi) if pos == hi else None
+
     def shard_batch(self, batch: dict, leading_accum: bool = False) -> dict:
         """Place a host batch onto the mesh with node-axis sharding.
 
         leading_accum: arrays carry a leading microbatch axis (gradient
         accumulation) — the node axis is then axis 1.
+
+        Batches carrying "node_range" hold ONLY this process's node rows
+        (per-host sharded pipeline); the global array is assembled from the
+        per-process shards via make_array_from_process_local_data — no
+        process ever materializes the full batch.
         """
         import jax.numpy as jnp
         node = ("data", "graph")
+        node_range = batch.get("node_range")
+        # global node count from the graph (node_mask's trailing axis also
+        # handles stacked per-microbatch graphs)
+        V_global = int(np.asarray(batch["graph"].node_mask).shape[-1])
         out = {}
         for k, v in batch.items():
+            if k == "node_range":
+                continue
             if k == "graph":
                 v = self.attach_plan(v)  # dynamic topology: per-batch plan
                 out[k] = jax.tree_util.tree_map(
                     lambda x: _put(x, self.replicated), v)
                 continue
-            v = jnp.asarray(v)
             # spec: [accum?, V(node), H(spatial?), ...rest]
             spec = [node]
-            if self.spatial and v.ndim >= (3 + int(leading_accum)):
+            if self.spatial and np.ndim(v) >= (3 + int(leading_accum)):
                 spec.append("model")
             if leading_accum:
                 spec.insert(0, None)
-            out[k] = _put(v, NamedSharding(self.mesh, P(*spec)))
+            sharding = NamedSharding(self.mesh, P(*spec))
+            if node_range is not None and jax.process_count() > 1:
+                axis = 1 if leading_accum else 0
+                local = np.asarray(v)
+                gshape = (local.shape[:axis] + (V_global,)
+                          + local.shape[axis + 1:])
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, local, gshape)
+            else:
+                out[k] = _put(jnp.asarray(v), sharding)
         return out
 
 

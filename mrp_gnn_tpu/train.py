@@ -232,6 +232,8 @@ class _MicrobatchStacker:
             for k in out:
                 out[k][i] = b[k]
             graphs.append(b["graph"])
+        if "node_range" in b0:  # per-host sharded pipeline (constant)
+            out["node_range"] = b0["node_range"]
         if all(g is graphs[0] for g in graphs[1:]):
             # static topology: the pipeline reuses one GraphBatch object
             out["graph"] = graphs[0]
@@ -302,11 +304,23 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             if hasattr(h, "close"):
                 h.close()
 
+    def _pipeline_node_range():
+        """Per-host node rows for the sharded builtin pipeline (each
+        process renders only the scenes its devices address); None keeps
+        the full-batch pipeline (single process, spatial sharding, or a
+        non-contiguous addressable layout)."""
+        if pctx is None or pctx.spatial or jax.process_count() == 1:
+            return None
+        d = cfg.data
+        V = d.max_nodes or d.scenes_per_batch * d.num_robots
+        return pctx.local_node_range(V)
+
     if data_iter is not None:
         base = data_iter
     else:
         from mrp_gnn_tpu.data.pipeline import make_train_iterator
-        base = make_train_iterator(cfg.data)
+        base = make_train_iterator(cfg.data,
+                                   node_range=_pipeline_node_range())
     it, raw_it = _wrap_stream(base)
     first = next(it)
 
@@ -319,8 +333,21 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
             return jax.tree_util.tree_map(lambda x: x[0], graph)
         return graph
 
-    init_batch = first if accum == 1 else {"images": first["images"][0],
-                                           "graph": _graph0(first["graph"])}
+    def _init_images(first):
+        """Init-trace images: GLOBAL node shape even when the per-host
+        pipeline yields only this process's rows (values are irrelevant to
+        parameter shapes)."""
+        im = np.asarray(first["images"] if accum == 1
+                        else first["images"][0])
+        if first.get("node_range") is not None:
+            Vg = int(np.asarray(_graph0(first["graph"]).node_mask
+                                ).shape[-1])
+            if im.shape[0] != Vg:
+                return np.zeros((Vg,) + im.shape[1:], im.dtype)
+        return im
+
+    init_batch = {"images": _init_images(first),
+                  "graph": _graph0(first["graph"])}
     state, model = create_train_state(
         cfg, rng, init_batch,
         edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
@@ -352,7 +379,8 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                 _close_stream(it, raw_it)  # stop stale pre-resume threads
                 it, raw_it = _wrap_stream(make_train_iterator(
                     cfg.data, start_batch=int(state.step) * accum,
-                    data_state=ckpt_mgr.latest_data_state()))
+                    data_state=ckpt_mgr.latest_data_state(),
+                    node_range=_pipeline_node_range()))
                 batch0 = next(it)
                 first = (pctx.shard_batch(batch0, leading_accum=accum > 1)
                          if pctx else batch0)

@@ -63,3 +63,33 @@ def test_shuffle_changes_between_epochs():
     e2 = [b["depth"].sum() for b in it]
     assert sorted(e1) == sorted(e2)
     assert e1 != e2
+
+
+def test_per_host_local_batch_matches_full_pipeline():
+    """BatchIterator(node_range=[lo,hi)) must yield exactly rows [lo, hi)
+    of the full pipeline's batches — same scenes, same graph — including
+    dynamic topology (positions for non-local scenes come from the
+    render-free scene_positions replay) and augmentation."""
+    import dataclasses as dc
+    from mrp_gnn_tpu.config import get_config
+    from mrp_gnn_tpu.data.pipeline import BatchIterator, SceneDataset
+
+    for preset, mobility in (("two_robot_mean", 0.0), ("dynamic_swarm", 1.5)):
+        cfg = get_config(preset).data
+        cfg = dc.replace(cfg, scenes_per_batch=4, num_train_scenes=8,
+                         image_size=(16, 16), mobility=mobility)
+        ds = SceneDataset(cfg, "train")
+        full = BatchIterator(ds, 4, shuffle=True, seed=3, augment=True)
+        V = full.max_nodes
+        lo, hi = V // 2, V  # second half: exercises the non-local replay
+        local = BatchIterator(SceneDataset(cfg, "train"), 4, shuffle=True,
+                              seed=3, augment=True, node_range=(lo, hi))
+        fb = next(iter(full))
+        lb = next(iter(local))
+        assert lb["node_range"] == (lo, hi)
+        for k in ("images", "depth", "seg"):
+            np.testing.assert_array_equal(lb[k], fb[k][lo:hi], err_msg=k)
+        import jax
+        for a, b in zip(jax.tree_util.tree_leaves(lb["graph"]),
+                        jax.tree_util.tree_leaves(fb["graph"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -69,3 +69,63 @@ def test_two_process_training_via_cli():
                    "PYTHONPATH": repo + os.pathsep
                    + os.environ.get("PYTHONPATH", "")})
     assert '"step": 3' in outs[0]
+
+
+def test_two_process_per_host_data_sharding():
+    """Round 3 (VERDICT #3): each process renders ONLY the scenes whose
+    node shards it addresses — the worker logs its node range and the two
+    ranges are disjoint halves — and the 2-process loss trace matches the
+    single-process run of the identical config."""
+    import json
+    import re
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {"JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+
+    def cmd(pid):
+        return [sys.executable, "-m", "mrp_gnn_tpu.train",
+                "--config", "two_robot_mean", "--steps", "3",
+                "--train_scenes", "8", "--log_every", "1",
+                "--graph_axis", "8",
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid),
+                "--local_device_count", "4"]
+
+    outs = _run_two_procs(cmd, "final loss", env_extra=env)
+    ranges = []
+    for out in outs:
+        mm = re.search(r"per-host shard: node rows \[(\d+), (\d+)\) of (\d+)",
+                       out)
+        assert mm, f"no per-host shard marker:\n{out[-2000:]}"
+        ranges.append((int(mm.group(1)), int(mm.group(2))))
+        assert int(mm.group(3)) == 8
+    # disjoint halves covering the 8-node axis
+    assert sorted(ranges) == [(0, 4), (4, 8)], ranges
+
+    def losses(out):
+        ls = []
+        for line in out.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if "total" in rec:
+                    ls.append(rec["total"])
+        return ls
+
+    mp_losses = losses(outs[0])
+    assert len(mp_losses) == 3
+
+    # single-process reference: same config on 8 virtual devices
+    ref = subprocess.run(
+        [sys.executable, "-m", "mrp_gnn_tpu.train",
+         "--config", "two_robot_mean", "--steps", "3",
+         "--train_scenes", "8", "--log_every", "1", "--graph_axis", "8",
+         "--local_device_count", "8"],
+        capture_output=True, text=True, timeout=280,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS",)}, **env})
+    assert ref.returncode == 0, ref.stdout[-2000:] + ref.stderr[-1000:]
+    ref_losses = losses(ref.stdout)
+    assert len(ref_losses) == 3
+    for a, b in zip(mp_losses, ref_losses):
+        assert abs(a - b) < 1e-4 * max(1.0, abs(b)), (mp_losses, ref_losses)
