@@ -28,7 +28,9 @@ from mrp_gnn_tpu.train import TrainState, create_train_state
 # Jitted eval steps cached per (model config, ops backend, edge_fn object):
 # periodic in-training validation (TrainConfig.eval_every) calls evaluate()
 # repeatedly with identical structure — a fresh closure under jax.jit would
-# pay a full recompile each time (minutes on the axon chip).
+# pay a full recompile each time (minutes on the axon chip). Each entry
+# holds a strong reference to its edge_fn, so the id() in the key cannot be
+# recycled by a different object while the entry is alive.
 _EVAL_STEP_CACHE: dict = {}
 
 
@@ -36,7 +38,7 @@ def _get_eval_step(model_cfg, ops_impl: str, edge_fn):
     key = (model_cfg, ops_impl, None if edge_fn is None else id(edge_fn))
     cached = _EVAL_STEP_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0], cached[1]
     model = MultiRobotPerceptionNet(model_cfg, ops_impl=ops_impl,
                                     edge_fusion_fn=edge_fn)
     num_classes = model_cfg.num_seg_classes
@@ -53,9 +55,9 @@ def _get_eval_step(model_cfg, ops_impl: str, edge_fn):
                                                      graph.node_mask, num_classes)
         return res
 
-    if len(_EVAL_STEP_CACHE) > 16:  # bound the cache (id() keys can recycle)
+    if len(_EVAL_STEP_CACHE) > 16:  # bound the cache
         _EVAL_STEP_CACHE.clear()
-    _EVAL_STEP_CACHE[key] = (model, eval_step)
+    _EVAL_STEP_CACHE[key] = (model, eval_step, edge_fn)  # pin edge_fn's id
     return model, eval_step
 
 

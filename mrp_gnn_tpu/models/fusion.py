@@ -56,14 +56,22 @@ def default_edge_fusion(ops, aggregation: str, q, k, flat_values,
             return ops.ell_mean(flat_values, graph)
         return ops.segment_mean_agg(flat_values, graph.edge_src, graph.edge_dst,
                                     V, graph.edge_mask)
+    if aggregation == "max":
+        if block and ops.block_max_agg is not None:
+            return ops.block_max_agg(flat_values, graph)
+        if ell and ops.ell_max is not None:
+            return ops.ell_max(flat_values, graph)
+        return ops.segment_max_agg(flat_values, graph.edge_src, graph.edge_dst,
+                                   V, graph.edge_mask)
     raise ValueError(f"unknown aggregation {aggregation!r}")
 
 
 class GraphFusionLayer(nn.Module):
     """One round of cross-robot message passing on bottleneck feature maps.
 
-    aggregation: "mean" (config two_robot_mean) or "attention"
-    (five_robot_attention and up).
+    aggregation: "mean" (config two_robot_mean), "attention"
+    (five_robot_attention and up), or "max" (element-wise max pooling over
+    in-neighbours — the segment tier's third reduction).
     """
 
     aggregation: str = "attention"

@@ -19,14 +19,18 @@ class EdgeOps:
     segment_softmax: Callable
     spmm: Callable
     segment_mean_agg: Callable
+    # Segment-max (the tier's third reduction): edge-list form.
+    segment_max_agg: Callable | None = None
     # Dense fast path for block-diagonal scene batches (None = unsupported;
     # callers fall back to the ELL / edge-list ops).
     block_fused_attention: Callable | None = None
     block_mean_agg: Callable | None = None
+    block_max_agg: Callable | None = None
     # ELL sparse path for irregular graphs with a padded neighbour-list view:
     # (q, k, values, graph) -> msg and (values, graph) -> msg.
     ell_attention: Callable | None = None
     ell_mean: Callable | None = None
+    ell_max: Callable | None = None
     # Backend tag ("xla" | "pallas") — lets composite paths (e.g. the
     # partitioned fusion's local aggregate) pick backend-specific kernels.
     impl: str = "xla"
@@ -52,12 +56,17 @@ def _xla_ops() -> EdgeOps:
         return R.ell_aggregate(ones, values, graph.ell_src, graph.ell_mask,
                                "mean")
 
+    def ell_max(values, graph):
+        return R.ell_aggregate(None, values, graph.ell_src, graph.ell_mask,
+                               "max")
+
     return EdgeOps(R.sddmm, R.segment_softmax, R.spmm, R.segment_mean_agg,
-                   R.block_fused_attention, R.block_mean_agg,
+                   R.segment_max_agg,
+                   R.block_fused_attention, R.block_mean_agg, R.block_max_agg,
                    _compose_ell_attention(R.ell_sddmm, R.ell_softmax,
                                           lambda a, v, s, m:
                                           R.ell_aggregate(a, v, s, m, "sum")),
-                   ell_mean)
+                   ell_mean, ell_max)
 
 
 def _pallas_ops() -> EdgeOps:
@@ -86,9 +95,13 @@ def _pallas_ops() -> EdgeOps:
         deg = jnp.maximum(maskf.sum(axis=1, keepdims=True), 1.0)
         return PE.ell_spmm(maskf / deg, values, graph.ell_src, graph.ell_mask)
 
+    def ell_max(values, graph):
+        return PE.ell_max(values, graph.ell_src, graph.ell_mask)
+
     return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
-                   P.block_fused_attention, R.block_mean_agg,
-                   ell_attention, ell_mean, impl="pallas")
+                   R.segment_max_agg,
+                   P.block_fused_attention, R.block_mean_agg, R.block_max_agg,
+                   ell_attention, ell_mean, ell_max, impl="pallas")
 
 
 _BACKENDS = {"xla": _xla_ops, "pallas": _pallas_ops}

@@ -156,6 +156,112 @@ def ell_spmm(weights: jax.Array, values: jax.Array, ell_src: jax.Array,
     return _ell_spmm(w, values, ell_src, _interpret())
 
 
+# --- ell_max ----------------------------------------------------------------
+
+
+def _max_kernel(src_ref, mask_ref, values_ref, out_ref, vbuf, sems):
+    """Masked segment-MAX over in-neighbours: same per-row DMA structure as
+    _spmm_kernel with a max-accumulate; rows with no valid in-edges emit
+    exactly zero (the segment tier's third reduction, reference.py
+    ell_aggregate mode='max')."""
+    Tv, deg = mask_ref.shape
+
+    def dma(slot, r, j):
+        return pltpu.make_async_copy(
+            values_ref.at[src_ref[r, j]], vbuf.at[slot, r], sems.at[slot, r])
+
+    def start_col(j):
+        slot = j % 2
+        jax.lax.fori_loop(0, Tv, lambda r, c: (dma(slot, r, j).start(), c)[1], 0)
+
+    start_col(0)
+    maskf = mask_ref[:]                   # [Tv, deg] float 0/1
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    acc = jnp.full(out_ref.shape, _NEG, jnp.float32)
+    for j in range(deg):                  # static unroll
+        slot = j % 2
+        if j + 1 < deg:
+            start_col(j + 1)
+        jax.lax.fori_loop(0, Tv, lambda r, c: (dma(slot, r, j).wait(), c)[1], 0)
+        mj = jnp.sum(jnp.where(col_ids == j, maskf, 0.0), axis=1,
+                     keepdims=True)                          # [Tv, 1]
+        cand = jnp.where(mj[..., None] > 0,
+                         vbuf[slot].astype(jnp.float32), _NEG)
+        acc = jnp.maximum(acc, cand)
+    any_valid = jnp.sum(maskf, axis=1, keepdims=True) > 0    # [Tv, 1]
+    acc = jnp.where(any_valid[..., None], acc, 0.0)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _max_forward(values, ell_src, maskf, interpret):
+    values, D_orig = _pad_lanes(values)
+    V, D = values.shape
+    deg = ell_src.shape[1]
+    Tv = _node_tile(V)
+    Dc = D // 128
+    v3 = values.reshape(V, Dc, 128)
+    out = pl.pallas_call(
+        _max_kernel,
+        grid=(V // Tv,),
+        in_specs=[
+            pl.BlockSpec((Tv, deg), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # ell_src tile
+            pl.BlockSpec((Tv, deg), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # mask tile (f32)
+            pl.BlockSpec(memory_space=pl.ANY),        # values (HBM)
+        ],
+        out_specs=pl.BlockSpec((Tv, Dc, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, Dc, 128), values.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Tv, Dc, 128), values.dtype),
+            pltpu.SemaphoreType.DMA((2, Tv)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=V * deg * D,
+            bytes_accessed=(V * deg * D + V * D) * values.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ell_src, maskf, v3)
+    return out.reshape(V, D)[:, :D_orig]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ell_max(values, ell_src, maskf, interpret):
+    return _max_forward(values, ell_src, maskf, interpret)
+
+
+def _ell_max_fwd(values, ell_src, maskf, interpret):
+    out = _max_forward(values, ell_src, maskf, interpret)
+    return out, (values, ell_src, maskf, out)
+
+
+def _ell_max_bwd(interpret, res, g):
+    values, ell_src, maskf, out = res
+    # subgradient: route g[v] to the slots achieving the max (split equally
+    # among ties, matching jnp.max's gather-based vjp convention of picking
+    # contributions via equality; exact ties are measure-zero for real data)
+    gathered = values[ell_src]                               # [V, deg, D]
+    is_max = ((gathered == out[:, None, :])
+              & (maskf[..., None] > 0)).astype(values.dtype)
+    nmax = jnp.maximum(is_max.sum(axis=1, keepdims=True), 1.0)
+    contrib = is_max / nmax * g[:, None, :]
+    dvalues = jnp.zeros_like(values).at[ell_src].add(contrib)
+    return dvalues, None, None
+
+
+_ell_max.defvjp(_ell_max_fwd, _ell_max_bwd)
+
+
+def ell_max(values: jax.Array, ell_src: jax.Array,
+            ell_mask: jax.Array) -> jax.Array:
+    """Masked segment-max over in-neighbours (Pallas kernel; rows with no
+    valid in-edges emit zero)."""
+    return _ell_max(values, ell_src, ell_mask.astype(jnp.float32),
+                    _interpret())
+
+
 # --- ell_sddmm --------------------------------------------------------------
 
 

@@ -128,6 +128,35 @@ def block_mean_agg(values: jax.Array, graph) -> jax.Array:
     return out.reshape(graph.max_nodes, -1)
 
 
+def block_max_agg(values: jax.Array, graph) -> jax.Array:
+    """Masked max aggregation for block-diagonal scene batches (dense)."""
+    n = graph.scene_stride
+    S = graph.max_nodes // n
+    vb = values.reshape(S, n, -1)
+    valid = graph.node_mask.reshape(S, n)
+    sel = (graph.scene_adj[None] > 0) & valid[:, None, :]   # [S, dst, src]
+    cand = jnp.where(sel[..., None], vb[:, None, :, :], _NEG)
+    mx = cand.max(axis=2)                                   # [S, dst, D]
+    any_e = sel.any(axis=2)[..., None]
+    return jnp.where(any_e, mx, 0.0).reshape(graph.max_nodes, -1)
+
+
+def segment_max_agg(values: jax.Array, edge_src: jax.Array,
+                    edge_dst: jax.Array, num_nodes: int,
+                    edge_mask: jax.Array) -> jax.Array:
+    """Masked max aggregation over in-neighbours (edge-list form).
+
+    out[v] = max_{e: dst_e = v, valid} values[src_e]; nodes with no valid
+    in-edges aggregate to zeros. The segment tier's third reduction
+    (BASELINE.json:5 segment sum/mean/max).
+    """
+    msgs = jnp.where(edge_mask[:, None], values[edge_src], _NEG)
+    mx = jax.ops.segment_max(msgs, edge_dst, num_segments=num_nodes)
+    has = jax.ops.segment_sum(edge_mask.astype(jnp.int32), edge_dst,
+                              num_segments=num_nodes) > 0
+    return jnp.where(has[:, None], jnp.where(jnp.isfinite(mx), mx, _NEG), 0.0)
+
+
 def segment_mean_agg(values: jax.Array, edge_src: jax.Array, edge_dst: jax.Array,
                      num_nodes: int, edge_mask: jax.Array) -> jax.Array:
     """Mean aggregation over in-neighbours (config ``two_robot_mean``).

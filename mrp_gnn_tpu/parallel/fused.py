@@ -99,18 +99,55 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 return jnp.zeros((1, x_loc.shape[-1]), x_loc.dtype)
             return jnp.concatenate(parts, axis=0)
 
-        def shard_fn(q_loc, k_loc, v_loc, sidx, r_dst, r_srcg, r_slot, r_mask,
+        def shard_fn(q_loc, k_loc, v_loc, sidx, re_slot, re_srcg, re_mask,
                      ell_s, ell_m, *bsp):
             # Leading plan axis is the shard dim mapped by shard_map -> [1, .].
             sidx = sidx[0]                                        # [sum B_d]
-            r_dst, r_srcg = r_dst[0], r_srcg[0]                   # [E_r]
-            r_slot, rmask = r_slot[0], r_mask[0]                  # [E_r]
+            re_slot, re_srcg = re_slot[0], re_srcg[0]             # [nps, Lr]
+            re_m = re_mask[0]                                     # [nps, Lr]
             ell_s, ell_m = ell_s[0], ell_m[0]                     # [nps, L]
-            bsp = tuple(b[0] for b in bsp)                        # pairs x4
+            bsp = tuple(b[0] for b in bsp)                        # pairs x8
+
+            def r_gather(x_remote, x_all):
+                """Boundary-edge source rows in ELL form [nps, Lr, D] —
+                regular gathers, NO scatter anywhere on the remote path."""
+                return (x_remote[re_slot] if x_all is None
+                        else x_all[re_srcg])
+
+            if aggregation == "max":
+                # max decomposes exactly over the local/remote split:
+                # out = max(local max, remote max), empty sides excluded.
+                def local_max():
+                    m_l = R.ell_aggregate(None, v_loc, ell_s, ell_m, "max")
+                    return jnp.where(ell_m.any(-1)[:, None], m_l, _NEG)
+
+                if exchange == "boundary":
+                    if overlap:
+                        v_remote = halo(v_loc, sidx)
+                        cand_l = local_max()
+                    else:
+                        cand_l = local_max()
+                        v_gate, cand_l = jax.lax.optimization_barrier(
+                            (v_loc, cand_l))
+                        v_remote = halo(v_gate, sidx)
+                    v_edge = r_gather(v_remote, None)
+                else:
+                    v_all = jax.lax.all_gather(v_loc, "graph", tiled=True)
+                    cand_l = local_max()
+                    v_edge = r_gather(None, v_all)
+                cand = jnp.where(re_m[..., None], v_edge,
+                                 jnp.asarray(_NEG, v_edge.dtype))
+                m_r = cand.max(axis=1)                          # [nps, D]
+                out = jnp.maximum(cand_l.astype(jnp.float32),
+                                  m_r.astype(jnp.float32))
+                has = ell_m.any(-1) | re_m.any(-1)
+                return jnp.where(has[:, None], out, 0.0).astype(v_loc.dtype)
 
             # Local edges ride the per-shard ELL layout (regular gathers /
-            # Pallas tile kernels — the bulk of a radius swarm); only the
-            # boundary remainder stays on the edge-list scatter path.
+            # Pallas tile kernels — the bulk of a radius swarm); boundary
+            # edges ride their OWN ELL view over the receive buffer, so the
+            # whole remote path is gathers + row reductions (round 3 — the
+            # old compact-edge-list scatter-add path is gone).
             # Attention weights come from ONE softmax split across both sets
             # (shared per-row max and normalizer), so the result is exactly
             # the unpartitioned segment softmax.
@@ -120,31 +157,28 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 lg_l = jnp.where(ell_m, lg_l, _NEG)             # [nps, L]
                 if exchange == "boundary":
                     k_remote = halo(k_loc, sidx)
-                    k_edge = k_remote[r_slot]
+                    k_edge = r_gather(k_remote, None)           # [nps, Lr, dk]
                 else:
                     k_all = jax.lax.all_gather(k_loc, "graph", tiled=True)
-                    k_edge = k_all[r_srcg]
-                lg_r = jnp.einsum("ed,ed->e", q_loc[r_dst], k_edge) * inv_sqrt
-                lg_r = jnp.where(rmask, lg_r, _NEG)             # [E_r]
+                    k_edge = r_gather(None, k_all)
+                lg_r = jnp.einsum("vd,vjd->vj", q_loc, k_edge) * inv_sqrt
+                lg_r = jnp.where(re_m, lg_r, _NEG)              # [nps, Lr]
 
                 m_l = jnp.max(lg_l, axis=-1)                    # [nps]
-                m_r = jax.ops.segment_max(lg_r, r_dst, num_segments=nps)
+                m_r = jnp.max(lg_r, axis=-1)
                 mx = jnp.maximum(jnp.maximum(m_l, m_r), _NEG / 2)
-                mx = jax.lax.stop_gradient(mx)
-                e_l = jnp.where(ell_m, jnp.exp(lg_l - mx[:, None]), 0.0)
-                e_r = jnp.where(rmask, jnp.exp(lg_r - mx[r_dst]), 0.0)
-                denom = (e_l.sum(-1)
-                         + jax.ops.segment_sum(e_r, r_dst, num_segments=nps))
+                mx = jax.lax.stop_gradient(mx)[:, None]
+                e_l = jnp.where(ell_m, jnp.exp(lg_l - mx), 0.0)
+                e_r = jnp.where(re_m, jnp.exp(lg_r - mx), 0.0)
+                denom = e_l.sum(-1) + e_r.sum(-1)
                 denom = jnp.where(denom > 0, denom, 1.0)
                 alpha_l = e_l / denom[:, None]                  # [nps, L]
-                alpha_r = e_r / denom[r_dst]                    # [E_r]
+                alpha_r = e_r / denom[:, None]                  # [nps, Lr]
             elif aggregation == "mean":
-                deg = (ell_m.sum(-1).astype(v_loc.dtype)
-                       + jax.ops.segment_sum(rmask.astype(v_loc.dtype), r_dst,
-                                             num_segments=nps))
+                deg = (ell_m.sum(-1) + re_m.sum(-1)).astype(v_loc.dtype)
                 inv = 1.0 / jnp.maximum(deg, 1.0)
                 alpha_l = jnp.broadcast_to(inv[:, None], ell_m.shape) * ell_m
-                alpha_r = inv[r_dst]
+                alpha_r = jnp.broadcast_to(inv[:, None], re_m.shape) * re_m
             else:
                 raise ValueError(f"unknown aggregation {aggregation!r}")
 
@@ -162,6 +196,13 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                                      plan.bsp_tile, _interpret())
                 return R.ell_aggregate(w, v, ell_s, ell_m, "sum")
 
+            def agg_remote_fn(v_remote, v_all):
+                v_edge = r_gather(v_remote, v_all)              # [nps, Lr, D]
+                return jnp.einsum("vj,vjd->vd",
+                                  (alpha_r * re_m).astype(jnp.float32),
+                                  v_edge.astype(jnp.float32)
+                                  ).astype(v_loc.dtype)
+
             # --- value exchange + two-partial aggregation -------------------
             # overlap=True: the collective is issued first with no data
             # dependence on the local partial, so XLA overlaps it with the
@@ -177,13 +218,11 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                     v_gate, agg_local = jax.lax.optimization_barrier(
                         (v_loc, agg_local))
                     v_remote = halo(v_gate, sidx)
-                agg_remote = ops.spmm(alpha_r, v_remote, r_slot, r_dst, nps,
-                                      rmask)
+                agg_remote = agg_remote_fn(v_remote, None)
             else:
                 v_all = jax.lax.all_gather(v_loc, "graph", tiled=True)
                 agg_local = agg_local_fn(v_loc)
-                agg_remote = ops.spmm(alpha_r, v_all, r_srcg, r_dst, nps,
-                                      rmask)
+                agg_remote = agg_remote_fn(None, v_all)
             return agg_local + agg_remote
 
         # Pallas backend + a tile plan: ship the per-shard BSP pair arrays so
@@ -213,17 +252,17 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 P(("data", "graph")),  # k (or placeholder)
                 P(("data", "graph")),  # flat values
                 plan_spec,                                       # send plan
-                plan_spec, plan_spec, plan_spec, plan_spec,      # remote edges
+                plan_spec, plan_spec, plan_spec,                 # remote ELL
                 plan_spec, plan_spec,                            # local ELL
             ) + (plan_spec,) * len(bsp_args),                    # BSP pairs
             out_specs=P(("data", "graph")),
         )
-        if q is None:  # mean aggregation carries no attention vectors
+        if q is None:  # mean/max aggregation carries no attention vectors
             q = jnp.zeros((flat_values.shape[0], 1), flat_values.dtype)
             k = q
-        return sharded(q, k, flat_values, live.send_idx, live.remote_dst,
-                       live.remote_src_global, live.remote_slot,
-                       live.remote_mask, live.ell_src, live.ell_mask,
+        return sharded(q, k, flat_values, live.send_idx,
+                       live.remote_ell_slot, live.remote_ell_srcg,
+                       live.remote_ell_mask, live.ell_src, live.ell_mask,
                        *bsp_args)
 
     return edge_fn

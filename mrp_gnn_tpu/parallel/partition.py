@@ -40,7 +40,9 @@ from mrp_gnn_tpu.graph import GraphBatch
 @partial(jax.tree_util.register_dataclass,
          data_fields=["src_global", "dst_local", "mask", "local_mask",
                       "send_idx", "remote_dst", "remote_src_global",
-                      "remote_slot", "remote_mask", "ell_src", "ell_mask",
+                      "remote_slot", "remote_mask", "remote_ell_slot",
+                      "remote_ell_srcg", "remote_ell_mask", "ell_src",
+                      "ell_mask",
                       "bsp_pair_dst", "bsp_pair_src", "bsp_pair_first",
                       "bsp_pair_last", "bsp_pair_dst_t", "bsp_pair_src_t",
                       "bsp_pair_first_t", "bsp_pair_last_t"],
@@ -101,6 +103,14 @@ class EdgePartitionPlan:
     remote_src_global: jax.Array
     remote_slot: jax.Array
     remote_mask: jax.Array
+    # ELL (padded neighbour-list) view of the SAME boundary edges, so the
+    # remote aggregation runs as regular gathers + row reductions instead of
+    # an edge-list scatter-add (round 3; the last scatter in the partitioned
+    # path): remote_ell_slot indexes the per-delta receive buffer,
+    # remote_ell_srcg the global node axis (the all_gather A/B mode).
+    remote_ell_slot: jax.Array
+    remote_ell_srcg: jax.Array
+    remote_ell_mask: jax.Array
     ell_src: jax.Array
     ell_mask: jax.Array
     bsp_pair_dst: jax.Array | None
@@ -151,6 +161,7 @@ class PlanCapacities:
     delta_rows: tuple
     remote_edges: int
     bsp_pairs: int
+    remote_ell_width: int = 0
     # The transposed plan's width is always bsp_pairs + nt (see
     # graph.bsp_pairs_t_capacity) — no separate capacity needed.
 
@@ -164,7 +175,49 @@ def capacities_of(plan: EdgePartitionPlan) -> PlanCapacities:
         remote_edges=int(plan.remote_mask.shape[-1]),
         bsp_pairs=(int(plan.bsp_pair_dst.shape[-1])
                    if plan.bsp_pair_dst is not None else 0),
+        remote_ell_width=int(plan.remote_ell_mask.shape[-1]),
     )
+
+
+def _remote_ell_arrays(arrs: dict, nps: int,
+                       capacities: PlanCapacities | None,
+                       pad_multiple: int = 8) -> None:
+    """Derive the remote-edge ELL view from the compact remote edge arrays
+    (shared post-processing for the numpy AND native plan builders, so the
+    C++ side needs no mirror). Boundary edges arrive dst-sorted per shard,
+    so the slot of an edge is its rank within its destination's run."""
+    r_dst = arrs["remote_dst"]
+    r_mask = np.asarray(arrs["remote_mask"])
+    P = r_dst.shape[0]
+    max_deg = 1
+    rows_per = []
+    for p in range(P):
+        rows = np.asarray(r_dst[p])[r_mask[p]]
+        rows_per.append(rows)
+        if rows.size:
+            max_deg = max(max_deg, int(np.bincount(rows).max()))
+    Lr = max(_round_up(max_deg, pad_multiple), pad_multiple)
+    if capacities is not None and capacities.remote_ell_width:
+        if Lr > capacities.remote_ell_width:
+            raise ValueError(f"remote in-degree {max_deg} exceeds remote "
+                             f"ELL capacity {capacities.remote_ell_width}")
+        Lr = capacities.remote_ell_width
+    slot_ell = np.zeros((P, nps, Lr), np.int32)
+    srcg_ell = np.zeros((P, nps, Lr), np.int32)
+    mask_ell = np.zeros((P, nps, Lr), bool)
+    for p in range(P):
+        rows = rows_per[p]
+        if rows.size == 0:
+            continue
+        starts = np.searchsorted(rows, np.arange(nps))
+        rank = np.arange(rows.size) - starts[rows]
+        slot_ell[p, rows, rank] = np.asarray(arrs["remote_slot"][p])[r_mask[p]]
+        srcg_ell[p, rows, rank] = np.asarray(
+            arrs["remote_src_global"][p])[r_mask[p]]
+        mask_ell[p, rows, rank] = True
+    arrs["remote_ell_slot"] = slot_ell
+    arrs["remote_ell_srcg"] = srcg_ell
+    arrs["remote_ell_mask"] = mask_ell
 
 
 def partition_graph(graph: GraphBatch, num_shards: int,
@@ -381,7 +434,7 @@ def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
             stacked_t.append(np.stack([per_t[p][i] for p in range(P)]))
         bsp = dict(zip(bsp.keys(), stacked + stacked_t))
 
-    return dict(
+    out = dict(
         src_global=src_g,
         dst_local=dst_l,
         mask=m,
@@ -398,6 +451,8 @@ def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
         bsp_tile=bsp_tile,
         **bsp,
     )
+    _remote_ell_arrays(out, nps, capacities, pad_multiple)
+    return out
 
 
 def partition_batch(graph: GraphBatch, num_replicas: int, num_shards: int,
@@ -447,6 +502,8 @@ def partition_batch(graph: GraphBatch, num_replicas: int, num_shards: int,
         if arrs is None:
             arrs = _plan_arrays(rs, rd, nps, num_shards, pad_multiple,
                                 capacities)
+        else:
+            _remote_ell_arrays(arrs, nps, capacities, pad_multiple)
         per.append(arrs)
     stacked = {}
     for k, v0 in per[0].items():

@@ -111,3 +111,31 @@ def test_gradients_flow_and_check():
         v = jnp.asarray(rng.normal(size=(V, 4)))
         assert q.dtype == jnp.float64
         check_grads(loss, (q, k, v), order=1, modes=("rev",), atol=1e-4, rtol=1e-4)
+
+
+def test_max_aggregation_all_paths_agree():
+    """Segment-max (the tier's third reduction) agrees across block-dense,
+    ELL, and edge-list forms on both backends."""
+    import dataclasses as dc
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+    gb_block = batch_fully_connected(2, 8)
+    gb_ell = dc.replace(gb_block, scene_adj=None, scene_stride=0)
+    gb_edge = dc.replace(gb_ell, ell_src=None, ell_mask=None,
+                         bsp_pair_dst=None, bsp_pair_src=None,
+                         bsp_pair_first=None, bsp_pair_last=None,
+                         bsp_pair_dst_t=None, bsp_pair_src_t=None,
+                         bsp_pair_first_t=None, bsp_pair_last_t=None,
+                         bsp_tile=0)
+    V = gb_block.max_nodes
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(V, 12)).astype(np.float32))
+    outs = []
+    for impl in ("xla", "pallas"):
+        ops = dispatch.get_ops(impl)
+        for gb in (gb_block, gb_ell, gb_edge):
+            outs.append(np.asarray(default_edge_fusion(
+                ops, "max", None, None, v, gb)))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-5, atol=1e-5)

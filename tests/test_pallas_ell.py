@@ -110,3 +110,26 @@ def test_pallas_ell_gradients_match_oracle():
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ell_max_matches_oracle():
+    from mrp_gnn_tpu.graph import batch_homogeneous, radius_edges
+    from mrp_gnn_tpu.ops import pallas_ell as PE
+    from mrp_gnn_tpu.ops import reference as R
+    gb = batch_homogeneous(2, 16, radius_edges(16, 3), max_nodes=64)
+    V = gb.max_nodes
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.normal(size=(V, 24)).astype(np.float32))
+    got = PE.ell_max(v, gb.ell_src, gb.ell_mask)
+    want = R.ell_aggregate(None, v, gb.ell_src, gb.ell_mask, "max")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # padded rows (no valid in-edges) emit exactly zero
+    np.testing.assert_array_equal(np.asarray(got[32:]), 0.0)
+    # gradients: subgradient routes to the argmax slots
+    g_k = jax.grad(lambda v: jnp.sum(
+        PE.ell_max(v, gb.ell_src, gb.ell_mask) ** 2))(v)
+    g_r = jax.grad(lambda v: jnp.sum(
+        R.ell_aggregate(None, v, gb.ell_src, gb.ell_mask, "max") ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               rtol=1e-5, atol=1e-5)

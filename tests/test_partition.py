@@ -231,3 +231,9 @@ def test_per_shard_bsp_tail_pairs_are_inert():
     for row in range(la_d.shape[0]):
         end = np.nonzero(la_d[row])[0][-1]
         assert (pd_d[row, end + 1:] == nt_d - 1).all()
+
+
+def test_partitioned_max_matches_unpartitioned():
+    """Max aggregation decomposes over the local/remote split exactly."""
+    expected, got = _run_both("max", data_ax=1, graph_ax=8)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
