@@ -105,6 +105,57 @@ def bench_fusion(nodes=8192, feature_dim=2048, attention_dim=64,
     return out
 
 
+def bench_train_edge(nodes=8192, feature_dim=2048, attention_dim=64,
+                     robots=8, inner=20,
+                     paths=("xla_ell", "pallas_ell")) -> list:
+    """GRADIENT-direction (fwd+bwd) edges/s of the attention edge block.
+
+    Times jax.grad of a scalar loss of the edge block w.r.t. the values,
+    feeding the gradient forward so the chain stays data-dependent — the
+    training-rate counterpart of bench_fusion. On the pallas path the
+    backward runs the round-3 kernel tier (block-sparse SDDMM + transposed
+    SpMM); on xla it is gather + scatter-add math.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.graph import batch_fully_connected
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+
+    gb = dataclasses.replace(batch_fully_connected(nodes // robots, robots),
+                             scene_adj=None, scene_stride=0)
+    E = int(np.asarray(gb.n_edges))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(nodes, attention_dim)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(nodes, attention_dim)).astype(np.float32))
+    v = jnp.asarray(rng.normal(
+        size=(nodes, feature_dim)).astype(np.float32)).astype(jnp.bfloat16)
+
+    out = []
+    for path in paths:
+        impl = path.split("_", 1)[0]
+        ops = dispatch.get_ops(impl)
+
+        def body(vv, ops=ops):
+            loss = lambda x: jnp.sum(
+                default_edge_fusion(ops, "attention", q, k, x, gb)
+                .astype(jnp.float32) ** 2)
+            return jax.grad(loss)(vv).astype(vv.dtype)
+
+        try:
+            sec = time_chained(body, v, inner)
+        except Exception as e:
+            _log(f"train_edge {path}: failed ({type(e).__name__}: {e})")
+            continue
+        rec = {"bench": "train_edge", "path": path, "nodes": nodes,
+               "edges": E, "feature_dim": feature_dim, "sec_per_call": sec,
+               "edges_per_s": E / sec, "backend": jax.default_backend()}
+        out.append(rec)
+        _log(f"train_edge {path}: {E / sec:,.0f} edges/s "
+             f"({sec * 1e6:.0f} us/call)")
+    return out
+
+
 def bench_train(config_name="five_robot_attention", inner=20) -> list:
     """End-to-end jitted train-step time for a preset config."""
     import jax
@@ -342,7 +393,8 @@ def main(argv=None):
     apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="fusion",
-                   choices=["fusion", "train", "scaling", "overlap", "all"])
+                   choices=["fusion", "train", "train_edge", "scaling",
+                            "overlap", "all"])
     p.add_argument("--topology", default="full", choices=["full", "radius"])
     p.add_argument("--exchange", default="boundary",
                    choices=["boundary", "all_gather"])
@@ -368,6 +420,9 @@ def main(argv=None):
             recs += bench_fusion(args.nodes, args.feature_dim, inner=args.inner)
         if args.what in ("train", "all"):
             recs += bench_train(args.config)
+        if args.what in ("train_edge", "all"):
+            recs += bench_train_edge(args.nodes, args.feature_dim,
+                                     inner=max(args.inner // 2, 10))
         if args.what in ("scaling", "all"):
             recs += bench_scaling(inner=args.inner, topology=args.topology,
                                   exchange=args.exchange)

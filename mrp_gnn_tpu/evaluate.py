@@ -75,16 +75,25 @@ def evaluate(cfg: ExperimentConfig, params: Any, pctx=None,
     model, eval_step = _get_eval_step(cfg.model, cfg.parallel.ops_impl,
                                       edge_fn)
 
+    node_range = None
+    if pctx is not None and not pctx.spatial and jax.process_count() > 1:
+        # per-host eval sharding (same scheme as training): render only the
+        # scenes this process's devices address
+        d = cfg.data
+        node_range = pctx.local_node_range(
+            d.max_nodes or d.scenes_per_batch * d.num_robots)
     acc = None
     n_batches = 0
-    for batch in make_dataset(cfg.data, "eval", shuffle=False):
+    for batch in make_dataset(cfg.data, "eval", shuffle=False,
+                              node_range=node_range):
         if pctx is not None:
             batch = pctx.shard_batch(batch)
         res = eval_step(params, jnp.asarray(batch["images"]),
                         jnp.asarray(batch["depth"]),
                         jnp.asarray(batch["seg"]), batch["graph"])
         acc = res if acc is None else M.tree_add(acc, res)
-        if dump_dir and n_batches == 0:
+        if dump_dir and n_batches == 0 and node_range is None:
+            # (panels need host-visible pixels; per-host-sharded eval skips)
             from mrp_gnn_tpu.utils.viz import save_panels
             out = jax.device_get(model.apply(
                 params, jnp.asarray(batch["images"]), batch["graph"]))

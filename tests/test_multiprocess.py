@@ -87,7 +87,7 @@ def test_two_process_per_host_data_sharding():
         return [sys.executable, "-m", "mrp_gnn_tpu.train",
                 "--config", "two_robot_mean", "--steps", "3",
                 "--train_scenes", "8", "--log_every", "1",
-                "--graph_axis", "8",
+                "--graph_axis", "8", "--eval_every", "3",
                 "--coordinator", f"localhost:{port}",
                 "--num_processes", "2", "--process_id", str(pid),
                 "--local_device_count", "4"]
@@ -120,6 +120,7 @@ def test_two_process_per_host_data_sharding():
         [sys.executable, "-m", "mrp_gnn_tpu.train",
          "--config", "two_robot_mean", "--steps", "3",
          "--train_scenes", "8", "--log_every", "1", "--graph_axis", "8",
+         "--eval_every", "3",
          "--local_device_count", "8"],
         capture_output=True, text=True, timeout=280,
         env={**{k: v for k, v in os.environ.items()
@@ -129,3 +130,17 @@ def test_two_process_per_host_data_sharding():
     assert len(ref_losses) == 3
     for a, b in zip(mp_losses, ref_losses):
         assert abs(a - b) < 1e-4 * max(1.0, abs(b)), (mp_losses, ref_losses)
+
+    # per-host-sharded EVAL (each process renders only its scenes) must
+    # produce the same metric as the single-process full-render eval
+    def eval_rmse(out):
+        for line in out.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if "eval_rmse" in rec:
+                    return rec["eval_rmse"]
+        return None
+
+    mp_rmse, ref_rmse = eval_rmse(outs[0]), eval_rmse(ref.stdout)
+    assert mp_rmse is not None and ref_rmse is not None
+    assert abs(mp_rmse - ref_rmse) < 1e-4 * max(1.0, abs(ref_rmse))
