@@ -229,7 +229,7 @@ def run_rounds(benches, probe, rounds, reject_frac=0.8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=50)
-    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--nodes", type=int, default=8192)
     p.add_argument("--feature_dim", type=int, default=2048)
     p.add_argument("--skip_train", action="store_true",

@@ -75,32 +75,43 @@ def _pallas_ops() -> EdgeOps:
     from mrp_gnn_tpu.ops import pallas_edge as P
     from mrp_gnn_tpu.ops import pallas_ell as PE
 
-    legacy_ell_attention = _compose_ell_attention(PE.ell_sddmm,
-                                                  PE.ell_softmax, PE.ell_spmm)
+    xla_ell_attention = _compose_ell_attention(
+        R.ell_sddmm, R.ell_softmax,
+        lambda a, v, s, m: R.ell_aggregate(a, v, s, m, "sum"))
 
     def ell_attention(q, k, values, graph):
         # One-pass tile-block-sparse fused kernel when the batch carries a
         # pair plan (sequential whole-tile DMAs + one-hot MXU selection +
-        # online softmax, alpha never visits HBM); the per-row-DMA ELL
-        # kernels remain as the general fallback.
+        # online softmax, alpha never visits HBM). Without a plan, the XLA
+        # ELL gather path wins at every scale over the round-1 per-row-DMA
+        # kernels (26M vs 14M edges/s — descriptor-latency-bound;
+        # BASELINE.md), so the kernels in pallas_ell stay available for
+        # benchmarking but are not the dispatch path.
         if B.supports(graph):
             return B.bsp_attention_fused(q, k, values, graph)
-        return legacy_ell_attention(q, k, values, graph)
+        return xla_ell_attention(q, k, values, graph)
+
+    def block_fused_attention(q, k, values, graph):
+        # Tiny graphs (a handful of robots) are dominated by the kernel's
+        # fixed launch/pack cost; XLA's einsum path wins below ~4 MXU tiles
+        # (chip A/B: five_robot_attention trains 44% faster on xla).
+        if graph.max_nodes < 512:
+            return R.block_fused_attention(q, k, values, graph)
+        return P.block_fused_attention(q, k, values, graph)
 
     def ell_mean(values, graph):
         if B.supports(graph):
             return B.bsp_mean(values, graph)
-        import jax.numpy as jnp
-        maskf = graph.ell_mask.astype(values.dtype)
-        deg = jnp.maximum(maskf.sum(axis=1, keepdims=True), 1.0)
-        return PE.ell_spmm(maskf / deg, values, graph.ell_src, graph.ell_mask)
+        ones = graph.ell_mask.astype(values.dtype)
+        return R.ell_aggregate(ones, values, graph.ell_src, graph.ell_mask,
+                               "mean")  # XLA gather beats per-row DMA
 
     def ell_max(values, graph):
         return PE.ell_max(values, graph.ell_src, graph.ell_mask)
 
     return EdgeOps(P.sddmm, P.segment_softmax, P.spmm, R.segment_mean_agg,
                    R.segment_max_agg,
-                   P.block_fused_attention, R.block_mean_agg, R.block_max_agg,
+                   block_fused_attention, R.block_mean_agg, R.block_max_agg,
                    ell_attention, ell_mean, ell_max, impl="pallas")
 
 

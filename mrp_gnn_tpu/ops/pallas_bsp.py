@@ -332,6 +332,16 @@ def _sddmm_forward(a, b, ell_src, pd, ps, fi, la, T, interpret):
     if a.dtype != b.dtype:
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
+    # VMEM guard: the kernel holds [T, D] blocks of BOTH operands,
+    # double-buffered across grid steps. The edge dot decomposes over the
+    # feature axis, so chunk wide D and sum the partial SDDMMs.
+    max_d = 4096 if a.dtype == jnp.float32 else 8192
+    if a.shape[1] > max_d:
+        mid = (a.shape[1] // 2 + 127) // 128 * 128
+        return (_sddmm_forward(a[:, :mid], b[:, :mid], ell_src, pd, ps, fi,
+                               la, T, interpret)
+                + _sddmm_forward(a[:, mid:], b[:, mid:], ell_src, pd, ps,
+                                 fi, la, T, interpret))
     a, _ = _pad_lanes(a)
     b, _ = _pad_lanes(b)
     V, D = a.shape

@@ -262,3 +262,19 @@ def test_bsp_gradients_bf16_values():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_bsp_backward_wide_features():
+    """The backward SDDMM chunks wide feature dims (VMEM guard) — grads at
+    D=8192+ must still be exact."""
+    gb = batch_fully_connected(2, 8, max_nodes=16)
+    V = gb.max_nodes
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(V, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, 8448)).astype(np.float32))  # > 4096
+    g_bsp = jax.grad(lambda v: jnp.sum(B.bsp_attention_fused(q, k, v, gb)
+                                       ** 2))(v)
+    g_ref = jax.grad(lambda v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g_bsp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
