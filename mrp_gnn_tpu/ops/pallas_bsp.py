@@ -664,9 +664,16 @@ _bsp_fused.defvjp(_bsp_fused_fwd, _bsp_fused_bwd)
 
 
 def supports(graph, values_dim: int | None = None) -> bool:
-    """True when the batch carries a BSP plan the kernels can run."""
+    """True when the batch carries a BSP plan the kernels can run.
+
+    Degree cap: the kernels build the one-hot selection matrix with a
+    STATIC unroll over ELL columns — O(deg) VPU work per (pair, feature
+    tile) and O(deg) Mosaic program size. Past ~128 in-neighbours the
+    build dominates the streamed-bytes win and compile times balloon, so
+    very-high-degree graphs take the XLA gather path instead."""
     return (graph.bsp_tile > 0 and graph.ell_src is not None
-            and graph.bsp_pair_dst is not None)
+            and graph.bsp_pair_dst is not None
+            and graph.ell_src.shape[1] <= 128)
 
 
 def _plan_args(graph):

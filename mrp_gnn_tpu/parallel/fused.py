@@ -234,6 +234,7 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
         from mrp_gnn_tpu.ops.pallas_bsp import _interpret
         use_bsp = (getattr(ops, "impl", "xla") == "pallas"
                    and plan.bsp_tile > 0 and live.bsp_pair_dst is not None
+                   and int(plan.ell_mask.shape[-1]) <= 128  # see B.supports
                    and not _interpret())
         bsp_args = ((live.bsp_pair_dst, live.bsp_pair_src,
                      live.bsp_pair_first, live.bsp_pair_last,

@@ -24,7 +24,6 @@ import numpy as np
 import optax
 
 from mrp_gnn_tpu.config import ExperimentConfig, get_config
-from mrp_gnn_tpu.data.pipeline import make_dataset
 from mrp_gnn_tpu.graph import GraphBatch
 from mrp_gnn_tpu.losses import total_loss
 from mrp_gnn_tpu.models import MultiRobotPerceptionNet
