@@ -60,7 +60,8 @@ ell_s = np.zeros(8 * 8, np.int32); ell_m = np.zeros(8 * 8, np.uint8)
 pd = np.zeros(4, np.int32); ps = np.zeros(4, np.int32)
 fi = np.zeros(4, np.int32); la = np.zeros(4, np.int32)
 ne = np.zeros(1, np.int32)
-rc = lib.mrp_build_plan(vp(pos), 1, 2, ctypes.c_double(10.0), 8, 64, 8, 4, 8,
+rc = lib.mrp_build_plan(vp(pos), 1, 2, 1, ctypes.c_double(10.0),
+                        8, 64, 8, 4, 8,
                         vp(es), vp(ed), vp(em), vp(ell_s), vp(ell_m),
                         vp(pd), vp(ps), vp(fi), vp(la), vp(ne))
 assert rc == 0 and ne[0] == 2, (rc, int(ne[0]))
@@ -82,7 +83,7 @@ def _load():
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.mrp_build_plan.restype = ctypes.c_int
         lib.mrp_build_plan.argtypes = [
-            f64p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            f64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
             i32p, i32p, u8p, i32p, u8p, i32p, i32p, i32p, i32p,
@@ -115,16 +116,18 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
     """Native counterpart of graph.batch_from_positions' numpy path.
 
     Returns a GraphBatch, or None when the native library is unavailable or
-    the inputs are outside its fast-path shape (heterogeneous team sizes or
-    multi-dimensional positions fall back to numpy).
+    the inputs are outside its fast-path shape (heterogeneous team sizes
+    fall back to numpy). Positions may be [N] baseline offsets or [N, d]
+    coordinates (matching graph.positions_radius_edges).
     """
     lib = _load()
     if lib is None:
         return None
     pos = [np.asarray(p, np.float64) for p in scene_positions]
-    if (not pos or any(p.ndim != 1 for p in pos)
-            or len({p.shape[0] for p in pos}) != 1):
+    if (not pos or any(p.ndim not in (1, 2) for p in pos)
+            or len({p.shape for p in pos}) != 1):
         return None
+    dim = 1 if pos[0].ndim == 1 else int(pos[0].shape[1])
     from mrp_gnn_tpu.graph import GraphBatch
 
     S, N = len(pos), pos[0].shape[0]
@@ -155,7 +158,8 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
     fi = np.zeros(cap_pairs, np.int32)
     la = np.zeros(cap_pairs, np.int32)
     n_out = np.zeros(1, np.int32)
-    rc = lib.mrp_build_plan(p_all, S, N, float(radius), max_nodes, max_edges,
+    rc = lib.mrp_build_plan(p_all.reshape(-1), S, N, dim, float(radius),
+                            max_nodes, max_edges,
                             max_deg, cap_pairs, tile, edge_src, edge_dst,
                             edge_mask, ell_src.reshape(-1),
                             ell_mask.reshape(-1), pd, ps, fi, la, n_out)

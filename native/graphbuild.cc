@@ -41,11 +41,26 @@ enum {
   MRP_ERR_BAD_SHAPE = -4,
 };
 
-// Build the full per-batch plan from per-scene 1-D robot positions.
+// Distance of robots i, j in one scene's position block ([N, dim],
+// row-major). dim == 1 keeps the historical |pi - pj| form (bit-identical
+// to the numpy path's norm over one component in every tested regime);
+// dim > 1 matches np.linalg.norm: sqrt of the summed squares.
+static inline double robot_dist(const double* p, int dim, int i, int j) {
+  if (dim == 1) return std::fabs(p[i] - p[j]);
+  double acc = 0.0;
+  for (int d = 0; d < dim; ++d) {
+    const double delta = p[(size_t)i * dim + d] - p[(size_t)j * dim + d];
+    acc += delta * delta;
+  }
+  return std::sqrt(acc);
+}
+
+// Build the full per-batch plan from per-scene robot positions.
 //
-// pos[S*N]: baseline offsets (scene-major). Outputs must be pre-allocated by
-// the caller at the documented capacities; this function zero-fills padding.
-int mrp_build_plan(const double* pos, int S, int N, double radius,
+// pos[S*N*dim]: positions, scene-major then robot-major ([S, N, dim]).
+// Outputs must be pre-allocated by the caller at the documented capacities;
+// this function zero-fills padding.
+int mrp_build_plan(const double* pos, int S, int N, int dim, double radius,
                    int max_nodes, int max_edges, int max_deg, int max_pairs,
                    int tile,
                    int32_t* edge_src, int32_t* edge_dst, uint8_t* edge_mask,
@@ -53,18 +68,19 @@ int mrp_build_plan(const double* pos, int S, int N, double radius,
                    int32_t* pair_dst, int32_t* pair_src,
                    int32_t* pair_first, int32_t* pair_last,
                    int32_t* n_edges_out) {
-  if (S <= 0 || N <= 0 || S * N > max_nodes || max_nodes % tile != 0)
+  if (S <= 0 || N <= 0 || dim <= 0 || S * N > max_nodes
+      || max_nodes % tile != 0)
     return MRP_ERR_BAD_SHAPE;
 
   // Pass 1: per-scene edge counts (parallel), then a prefix sum.
   std::vector<int> counts(S, 0);
 #pragma omp parallel for schedule(static)
   for (int s = 0; s < S; ++s) {
-    const double* p = pos + (size_t)s * N;
+    const double* p = pos + (size_t)s * N * dim;
     int c = 0;
     for (int i = 0; i < N; ++i)
       for (int j = 0; j < N; ++j)
-        if (i != j && std::fabs(p[i] - p[j]) <= radius) ++c;
+        if (i != j && robot_dist(p, dim, i, j) <= radius) ++c;
     counts[s] = c;
   }
   std::vector<int> offs(S + 1, 0);
@@ -79,12 +95,12 @@ int mrp_build_plan(const double* pos, int S, int N, double radius,
   std::memset(edge_mask, 0, (size_t)max_edges);
 #pragma omp parallel for schedule(static)
   for (int s = 0; s < S; ++s) {
-    const double* p = pos + (size_t)s * N;
+    const double* p = pos + (size_t)s * N * dim;
     int w = offs[s];
     const int base = s * N;
     for (int i = 0; i < N; ++i) {       // dst-major
       for (int j = 0; j < N; ++j) {     // src ascending within the segment
-        if (i == j || std::fabs(p[i] - p[j]) > radius) continue;
+        if (i == j || robot_dist(p, dim, i, j) > radius) continue;
         edge_src[w] = base + j;
         edge_dst[w] = base + i;
         edge_mask[w] = 1;

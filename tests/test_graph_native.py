@@ -175,3 +175,27 @@ def test_native_partition_plan_capacity_errors():
     with pytest.raises(ValueError):
         PT.partition_batch(dense, num_replicas=2, num_shards=4,
                            capacities=caps)
+
+
+def test_native_plan_2d_positions_bit_identical():
+    """n-D metric positions (round 3): the native builder handles [N, d]
+    coordinates and matches the numpy path bit-for-bit."""
+    if not graph_native.is_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    S, N = 4, 32
+    pos = [np.stack([np.linspace(0, N - 1, N) + rng.uniform(-1.5, 1.5, N),
+                     rng.uniform(-2.0, 2.0, N)], axis=1)
+           for _ in range(S)]
+    caps = dict(radius=3.0, max_nodes=128, max_edges=2048, max_degree=31,
+                max_bsp_pairs=48)
+    gb_nat = graph_native.batch_from_positions_native(pos, **caps)
+    assert gb_nat is not None
+    gb_np = _numpy_batch(pos, **caps)
+    for f in dataclasses.fields(gb_nat):
+        a, b = getattr(gb_nat, f.name), getattr(gb_np, f.name)
+        if a is None or isinstance(a, int):
+            assert a == b, f.name
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f.name
+    assert int(np.asarray(gb_nat.n_edges)) > 0
