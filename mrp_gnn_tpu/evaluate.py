@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from mrp_gnn_tpu import metrics as M
 from mrp_gnn_tpu.config import ExperimentConfig, get_config
 from mrp_gnn_tpu.data.pipeline import make_dataset
 from mrp_gnn_tpu.models import MultiRobotPerceptionNet
-from mrp_gnn_tpu.train import TrainState, create_train_state
+from mrp_gnn_tpu.train import create_train_state
 
 
 # Jitted eval steps cached per (model config, ops backend, edge_fn object):
