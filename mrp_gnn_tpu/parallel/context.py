@@ -115,7 +115,7 @@ class ParallelContext:
         V_global = int(np.asarray(batch["graph"].node_mask).shape[-1])
         out = {}
         for k, v in batch.items():
-            if k == "node_range":
+            if k in ("node_range", "_placed"):
                 continue
             if k == "graph":
                 v = self.attach_plan(v)  # dynamic topology: per-batch plan

@@ -284,17 +284,35 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     accum = max(cfg.train.grad_accum_steps, 1)
     pctx = make_parallel(cfg)
 
+    def _place(b):
+        """Device placement of one batch — runs on the PRODUCER thread so
+        the host->device conversions (34 ms/step for a 256-view batch on
+        this rig) overlap device compute instead of serializing with the
+        step dispatch. Marked so the training loop does not re-place."""
+        if pctx is not None:
+            b = pctx.shard_batch(b)
+        else:
+            b = {k: (jnp.asarray(v) if k in ("images", "depth", "seg")
+                     else v) for k, v in b.items()}
+        return {**b, "_placed": True}
+
     def _wrap_stream(base):
-        """Assemble the batch stream: a TransformIterator attaching the
-        per-batch partition plan on a PRODUCER thread (dynamic partitioned
-        topologies — keeps the O(plan build) host work off the step critical
-        path), then microbatch stacking. Returns (iterator, state handle):
-        the handle carries get_state() aligned with consumed batches."""
-        raw = base
+        """Assemble the batch stream: a TransformIterator running per-batch
+        host work on a PRODUCER thread — partition-plan attachment (dynamic
+        partitioned topologies) and, for accum == 1, device placement —
+        then microbatch stacking (accum > 1 stays host-side until the
+        stacked group is placed by the loop). Returns (iterator, state
+        handle): the handle carries get_state() aligned with consumption."""
+        tf = None
         if pctx is not None and pctx.dyn_caps is not None:
+            tf = lambda b: {**b, "graph": pctx.attach_plan(b["graph"])}
+        if accum == 1:
+            attach = tf
+            tf = (lambda b: _place(attach(b))) if attach else _place
+        raw = base
+        if tf is not None:
             from mrp_gnn_tpu.data.pipeline import TransformIterator
-            raw = TransformIterator(
-                base, lambda b: {**b, "graph": pctx.attach_plan(b["graph"])})
+            raw = TransformIterator(base, tf)
         return (_MicrobatchStacker(raw, accum) if accum > 1 else raw), raw
 
     def _close_stream(it, raw):
@@ -334,14 +352,15 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     def _init_images(first):
         """Init-trace images: GLOBAL node shape even when the per-host
         pipeline yields only this process's rows (values are irrelevant to
-        parameter shapes)."""
-        im = np.asarray(first["images"] if accum == 1
-                        else first["images"][0])
+        parameter shapes). Works on host numpy AND producer-placed device
+        arrays without materializing either."""
+        im = first["images"] if accum == 1 else first["images"][0]
         if first.get("node_range") is not None:
             Vg = int(np.asarray(_graph0(first["graph"]).node_mask
                                 ).shape[-1])
             if im.shape[0] != Vg:
-                return np.zeros((Vg,) + im.shape[1:], im.dtype)
+                return np.zeros((Vg,) + tuple(im.shape[1:]),
+                                np.dtype(im.dtype))
         return im
 
     init_batch = {"images": _init_images(first),
@@ -351,7 +370,8 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         edge_fusion_fn=pctx.edge_fusion_fn if pctx else None)
     if pctx is not None:
         state = pctx.shard_state(state)
-        first = pctx.shard_batch(first, leading_accum=accum > 1)
+        if not first.get("_placed"):
+            first = pctx.shard_batch(first, leading_accum=accum > 1)
     tx = make_optimizer(cfg)
     step_fn = make_train_step(cfg, model, tx)
 
@@ -403,7 +423,7 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     t_last, step_last = t0, int(state.step)
     start_step = int(state.step)
     for i in range(start_step, steps):
-        if pctx is not None and i > start_step:
+        if pctx is not None and i > start_step and not batch.get("_placed"):
             batch = pctx.shard_batch(batch, leading_accum=accum > 1)
         state, terms = step_fn(state, jnp.asarray(batch["images"]),
                                jnp.asarray(batch["depth"]),
