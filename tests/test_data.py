@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from mrp_gnn_tpu.config import DataConfig
@@ -93,3 +94,47 @@ def test_per_host_local_batch_matches_full_pipeline():
         for a, b in zip(jax.tree_util.tree_leaves(lb["graph"]),
                         jax.tree_util.tree_leaves(fb["graph"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transform_iterator_state_aligns_with_consumption():
+    """TransformIterator prefetches ahead on its producer thread, but
+    get_state() must return the inner iterator's state AS OF the batch most
+    recently handed to the consumer — so a checkpoint/restore replays from
+    exactly the next unseen batch."""
+    import time
+    from mrp_gnn_tpu.data.pipeline import TransformIterator
+
+    class Counting:
+        def __init__(self):
+            self.i = 0
+
+        def __next__(self):
+            self.i += 1
+            return {"n": self.i}
+
+        def get_state(self):
+            return self.i
+
+    inner = Counting()
+    it = TransformIterator(inner, lambda b: {**b, "seen": True}, depth=3)
+    got = [next(it) for _ in range(3)]
+    assert [b["n"] for b in got] == [1, 2, 3]
+    assert all(b["seen"] for b in got)
+    time.sleep(0.05)  # let the producer run ahead into its queue
+    assert inner.i > 3  # it DID run ahead...
+    assert it.get_state() == 3  # ...but the state tracks consumption
+    it.close()
+
+
+def test_transform_iterator_relays_exceptions():
+    from mrp_gnn_tpu.data.pipeline import TransformIterator
+
+    def gen():
+        yield {"n": 1}
+        raise RuntimeError("boom")
+
+    it = TransformIterator(gen(), lambda b: b)
+    assert next(it)["n"] == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+        next(it)  # depending on timing the error arrives on this pull
