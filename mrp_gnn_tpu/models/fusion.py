@@ -116,17 +116,21 @@ class GraphFusionLayer(nn.Module):
 
         with jax.named_scope(f"graph_fusion_{self.aggregation}"):
             if heads > 1:
-                # [V, h*w, heads, C/heads] -> per-head flat feature vectors;
-                # vmap the whole edge block over the head axis.
+                # [V, h*w, heads, C/heads] -> per-head flat feature vectors.
+                # Loop the edge block over heads (heads is small and static)
+                # instead of vmap: vmap's auto-batching of pallas_call
+                # produces Mosaic-unlowerable block shapes on TPU (squeezed
+                # batch dims break the (8, 128) minor-tile rule), while a
+                # loop keeps each head a plain kernel / shard_map call —
+                # identical math either way.
                 vh = values.reshape(V, h * w, heads, C // heads)
                 vh = vh.transpose(0, 2, 1, 3).reshape(
                     V, heads, h * w * (C // heads))
                 qh = q.reshape(V, heads, self.attention_dim)
                 kh = k.reshape(V, heads, self.attention_dim)
-                msg = jax.vmap(
-                    lambda qx, kx, vx: edge_fn(ops, "attention", qx, kx, vx,
-                                               graph),
-                    in_axes=1, out_axes=1)(qh, kh, vh)
+                msg = jnp.stack(
+                    [edge_fn(ops, "attention", qh[:, i], kh[:, i], vh[:, i],
+                             graph) for i in range(heads)], axis=1)
                 msg = msg.reshape(V, heads, h * w, C // heads)
                 msg = msg.transpose(0, 2, 1, 3).reshape(V, h, w, C)
             else:

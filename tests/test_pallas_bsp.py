@@ -278,3 +278,25 @@ def test_bsp_backward_wide_features():
     g_ref = jax.grad(lambda v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2))(v)
     np.testing.assert_allclose(np.asarray(g_bsp), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bsp_multi_head_vmap():
+    """attention_heads > 1 vmaps the whole edge block over the head axis —
+    the BSP kernels must batch correctly under vmap (fwd and bwd)."""
+    from mrp_gnn_tpu.models.fusion import GraphFusionLayer
+    gb = dataclasses.replace(batch_fully_connected(2, 8),
+                             scene_adj=None, scene_stride=0)
+    V = gb.max_nodes
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(V, 4, 4, 16)).astype(np.float32))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        layer = GraphFusionLayer(aggregation="attention", attention_dim=8,
+                                 attention_heads=4, ops_impl=impl)
+        params = layer.init(jax.random.PRNGKey(0), feats, gb)
+        outs[impl] = layer.apply(params, feats, gb)
+        g = jax.grad(lambda f: jnp.sum(layer.apply(params, f, gb) ** 2))(
+            feats)
+        assert bool(jnp.isfinite(g).all())
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["xla"]), rtol=1e-4, atol=1e-4)
