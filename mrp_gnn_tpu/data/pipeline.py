@@ -208,9 +208,23 @@ class TransformIterator:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
         self._last_state = None
+        self._done: BaseException | None = None
         self._has_state = hasattr(it, "get_state")
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up once close() set the stop flag, so the
+        producer thread can never stay blocked on a full queue after
+        shutdown."""
+        import queue
+        while True:
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if self._stop.is_set():
+                    return False
 
     def _fill(self):
         while not self._stop.is_set():
@@ -219,16 +233,24 @@ class TransformIterator:
                 state = self._it.get_state() if self._has_state else None
                 item = (state, self._tf(batch))
             except BaseException as e:  # noqa: BLE001 — relayed in __next__
-                self._q.put(e)
+                self._put(e)
                 return
-            self._q.put(item)
+            self._put(item)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done is not None:
+            # The producer relayed a terminal exception and exited; repeated
+            # calls must keep raising it (iterator contract) instead of
+            # blocking forever on the now-empty queue.
+            if isinstance(self._done, StopIteration):
+                raise StopIteration from self._done
+            raise self._done
         item = self._q.get()
         if isinstance(item, BaseException):
+            self._done = item
             if isinstance(item, StopIteration):
                 raise StopIteration from item
             raise item
@@ -240,10 +262,14 @@ class TransformIterator:
 
     def close(self):
         self._stop.set()
+        if hasattr(self._it, "close"):
+            self._it.close()  # cascade: unblock a producer stuck in next()
         try:
             self._q.get_nowait()  # unblock the producer if it is waiting
         except Exception:
             pass
+        self._thread.join(timeout=2.0)
+        self._done = self._done or StopIteration("closed")
 
 
 class BatchIterator:
@@ -433,10 +459,16 @@ class PrefetchIterator:
         self._thread.start()
 
     def _fill(self):
+        import queue
         for batch in self._it.repeat():
-            if self._stop.is_set():
-                return
-            self._q.put(batch)
+            while True:  # bounded put: never stays blocked after close()
+                if self._stop.is_set():
+                    return
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -450,6 +482,7 @@ class PrefetchIterator:
             self._q.get_nowait()  # unblock the producer if it is waiting
         except Exception:
             pass
+        self._thread.join(timeout=2.0)
 
 
 def make_dataset(cfg: DataConfig, split: str = "train",
@@ -483,8 +516,21 @@ def make_train_iterator(cfg: DataConfig, start_batch: int = 0,
     .latest_data_state()) — O(1) seek for the grain loader.
     """
     if cfg.loader == "grain":
-        # grain shards RECORDS per process (ShardByJaxProcess); node-range
-        # sharding applies to the builtin pipeline only.
+        # grain shards RECORDS per process (ShardByJaxProcess), while
+        # ParallelContext.shard_batch assumes every process holds the SAME
+        # global batch (or explicit node_range rows) — mixing the two would
+        # silently assemble a batch from different scenes per host (and,
+        # with dynamic topology, inconsistent graphs/partition plans across
+        # hosts). The builtin pipeline's node-range sharding is the
+        # supported multi-process path; refuse the unsound combination.
+        import jax
+        if jax.process_count() > 1:
+            raise ValueError(
+                "loader='grain' is single-process only: grain shards records "
+                "per process but the mesh assembly expects identical global "
+                "batches per host. Use the builtin loader (loader='builtin') "
+                "for multi-process runs — it shards scene rendering per host "
+                "via node ranges (docs/data.md).")
         from mrp_gnn_tpu.data.grain_pipeline import make_grain_iterator
         it = make_grain_iterator(cfg, "train")
         if data_state is not None:

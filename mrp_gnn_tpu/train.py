@@ -215,10 +215,12 @@ class _MicrobatchStacker:
         self._it, self._accum = it, accum
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
+        self._last_state = None
+        self._has_state = hasattr(it, "get_state")
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
-    def _build(self) -> dict:
+    def _build(self) -> tuple:
         b0 = next(self._it)
         out = {k: np.empty((self._accum,) + b0[k].shape, b0[k].dtype)
                for k in ("images", "depth", "seg")}
@@ -243,7 +245,24 @@ class _MicrobatchStacker:
             # in make_train_step).
             out["graph"] = jax.tree_util.tree_map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs]), *graphs)
-        return out
+        # Iterator-state snapshot AFTER consuming this group's accum batches
+        # (same snapshot-on-enqueue pattern as TransformIterator): the inner
+        # get_state() is consumer-exact w.r.t. THIS thread, so the snapshot
+        # reflects exactly the batches folded into this group — get_state()
+        # below then aligns with groups handed to the training loop, not
+        # with the producer's prefetch position.
+        state = self._it.get_state() if self._has_state else None
+        return state, out
+
+    def _put(self, item) -> bool:
+        import queue
+        while True:  # bounded put: never stays blocked after close()
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if self._stop.is_set():
+                    return False
 
     def _fill(self):
         # Exceptions (including StopIteration from an exhausted iterator)
@@ -253,9 +272,9 @@ class _MicrobatchStacker:
             try:
                 item = self._build()
             except BaseException as e:  # noqa: BLE001 — relayed, not dropped
-                self._q.put(e)
+                self._put(e)
                 return
-            self._q.put(item)
+            self._put(item)
 
     def __iter__(self):
         return self
@@ -263,17 +282,28 @@ class _MicrobatchStacker:
     def __next__(self) -> dict:
         item = self._q.get()
         if isinstance(item, BaseException):
+            self._q.put(item)  # keep terminal state for repeated calls
             if isinstance(item, StopIteration):
                 raise StopIteration from item
             raise item
-        return item
+        self._last_state, group = item
+        return group
+
+    def get_state(self):
+        """Inner-iterator state aligned with the last group handed to the
+        training loop (ADVICE r3: the producer thread prefetches ahead, so
+        the raw iterator's live state overshoots consumption)."""
+        return self._last_state
 
     def close(self):
         self._stop.set()
+        if hasattr(self._it, "close"):
+            self._it.close()  # cascade: unblock a producer stuck in next()
         try:
             self._q.get_nowait()  # unblock the producer if it is waiting
         except Exception:
             pass
+        self._thread.join(timeout=2.0)
 
 
 def train(cfg: ExperimentConfig, num_steps: int | None = None,
@@ -400,7 +430,12 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
                     data_state=ckpt_mgr.latest_data_state(),
                     node_range=_pipeline_node_range()))
                 batch0 = next(it)
-                first = (pctx.shard_batch(batch0, leading_accum=accum > 1)
+                # Mirror the first-batch guard above: with accum == 1 the
+                # producer thread already device-placed the batch — a second
+                # shard_batch would np.asarray a node-sharded global Array
+                # spanning non-addressable devices (multi-host crash).
+                first = (batch0 if batch0.get("_placed")
+                         else pctx.shard_batch(batch0, leading_accum=accum > 1)
                          if pctx else batch0)
 
     tb_writer = None
@@ -422,59 +457,71 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
     t0 = time.perf_counter()
     t_last, step_last = t0, int(state.step)
     start_step = int(state.step)
-    for i in range(start_step, steps):
-        if pctx is not None and i > start_step and not batch.get("_placed"):
-            batch = pctx.shard_batch(batch, leading_accum=accum > 1)
-        state, terms = step_fn(state, jnp.asarray(batch["images"]),
-                               jnp.asarray(batch["depth"]),
-                               jnp.asarray(batch["seg"]), batch["graph"])
-        if (i + 1) % cfg.train.log_every == 0 or i == steps - 1:
-            terms = jax.device_get(terms)
-            now = time.perf_counter()
-            dt = (now - t_last) / max(i + 1 - step_last, 1)
-            t_last, step_last = now, i + 1
-            rec = {"step": i + 1,
-                   **{k: float(v) for k, v in terms.items()},
-                   "wall_s": now - t0, "step_time_s": dt,
-                   "views_per_s": n_nodes / dt, "edges_per_s": n_edges / dt}
-            records.append(rec)
-            if log_fn:
-                log_fn(rec)
-            if cfg.train.halt_on_nonfinite and not np.isfinite(rec["total"]):
-                # Failure detection (SURVEY.md section 5): stop before the
-                # divergent state can overwrite a good checkpoint; the last
-                # saved checkpoint remains the restart point.
-                raise FloatingPointError(
-                    f"non-finite loss {rec['total']} at step {i + 1}; "
-                    f"restart resumes from the last checkpoint")
-            if tb_writer is not None:
-                tb_writer.write_scalars(
-                    i + 1, {k: v for k, v in rec.items()
-                            if k not in ("step",) and isinstance(v, float)})
-        if (cfg.train.eval_every and (i + 1) % cfg.train.eval_every == 0):
-            from mrp_gnn_tpu.evaluate import evaluate
-            ev = evaluate(cfg, state.params, pctx=pctx)
-            ev_rec = {"step": i + 1,
-                      **{f"eval_{k}": v for k, v in ev.items()}}
-            records.append(ev_rec)
-            if log_fn:
-                log_fn(ev_rec)
-            if tb_writer is not None:
-                tb_writer.write_scalars(
-                    i + 1, {k: float(v) for k, v in ev_rec.items()
-                            if k != "step" and np.isscalar(v)})
-            if "rmse" in ev and ev["rmse"] < best_rmse:
-                best_rmse, best_step = ev["rmse"], i + 1
-                state = dataclasses.replace(
-                    state,
-                    best_rmse=jnp.asarray(best_rmse, jnp.float32),
-                    best_step=jnp.asarray(best_step, jnp.int32))
-        if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
-                         or i == steps - 1):
-            ds_state = (raw_it.get_state()
-                        if hasattr(raw_it, "get_state") else None)
-            ckpt_mgr.save(i + 1, state, data_state=ds_state)
-        batch = next(it)
+    try:
+        for i in range(start_step, steps):
+            if pctx is not None and i > start_step and not batch.get("_placed"):
+                batch = pctx.shard_batch(batch, leading_accum=accum > 1)
+            state, terms = step_fn(state, jnp.asarray(batch["images"]),
+                                   jnp.asarray(batch["depth"]),
+                                   jnp.asarray(batch["seg"]), batch["graph"])
+            if (i + 1) % cfg.train.log_every == 0 or i == steps - 1:
+                terms = jax.device_get(terms)
+                now = time.perf_counter()
+                dt = (now - t_last) / max(i + 1 - step_last, 1)
+                t_last, step_last = now, i + 1
+                rec = {"step": i + 1,
+                       **{k: float(v) for k, v in terms.items()},
+                       "wall_s": now - t0, "step_time_s": dt,
+                       "views_per_s": n_nodes / dt,
+                       "edges_per_s": n_edges / dt}
+                records.append(rec)
+                if log_fn:
+                    log_fn(rec)
+                if cfg.train.halt_on_nonfinite and not np.isfinite(rec["total"]):
+                    # Failure detection (SURVEY.md section 5): stop before the
+                    # divergent state can overwrite a good checkpoint; the last
+                    # saved checkpoint remains the restart point.
+                    raise FloatingPointError(
+                        f"non-finite loss {rec['total']} at step {i + 1}; "
+                        f"restart resumes from the last checkpoint")
+                if tb_writer is not None:
+                    tb_writer.write_scalars(
+                        i + 1, {k: v for k, v in rec.items()
+                                if k not in ("step",) and isinstance(v, float)})
+            if (cfg.train.eval_every and (i + 1) % cfg.train.eval_every == 0):
+                from mrp_gnn_tpu.evaluate import evaluate
+                ev = evaluate(cfg, state.params, pctx=pctx)
+                ev_rec = {"step": i + 1,
+                          **{f"eval_{k}": v for k, v in ev.items()}}
+                records.append(ev_rec)
+                if log_fn:
+                    log_fn(ev_rec)
+                if tb_writer is not None:
+                    tb_writer.write_scalars(
+                        i + 1, {k: float(v) for k, v in ev_rec.items()
+                                if k != "step" and np.isscalar(v)})
+                if "rmse" in ev and ev["rmse"] < best_rmse:
+                    best_rmse, best_step = ev["rmse"], i + 1
+                    state = dataclasses.replace(
+                        state,
+                        best_rmse=jnp.asarray(best_rmse, jnp.float32),
+                        best_step=jnp.asarray(best_step, jnp.int32))
+            if ckpt_mgr and ((i + 1) % cfg.train.checkpoint_every == 0
+                             or i == steps - 1):
+                # Consumer-aligned iterator state: the stacker/transform
+                # wrappers snapshot the inner state per delivered item, so
+                # prefetch-ahead never overshoots the saved position
+                # (ADVICE r3).
+                src = it if hasattr(it, "get_state") else raw_it
+                ds_state = (src.get_state()
+                            if hasattr(src, "get_state") else None)
+                ckpt_mgr.save(i + 1, state, data_state=ds_state)
+            batch = next(it)
+    finally:
+        # Stop producer threads on EVERY exit (normal completion, the NaN
+        # watchdog's FloatingPointError, KeyboardInterrupt): repeated
+        # in-process train() calls must not accumulate live threads.
+        _close_stream(it, raw_it)
     if best_step >= 0:
         rec = {"step": steps, "best_eval_rmse": best_rmse,
                "best_eval_step": best_step}

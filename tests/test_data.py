@@ -138,3 +138,55 @@ def test_transform_iterator_relays_exceptions():
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
         next(it)  # depending on timing the error arrives on this pull
+
+
+def test_transform_iterator_terminal_reraise_no_hang():
+    """After the producer relays a terminal exception and exits, repeated
+    __next__ calls must keep raising immediately (iterator contract) instead
+    of blocking forever on the empty queue (ADVICE r3)."""
+    from mrp_gnn_tpu.data.pipeline import TransformIterator
+
+    it = TransformIterator(iter([{"n": 1}]), lambda b: b)
+    assert next(it)["n"] == 1
+    for _ in range(3):  # every call returns promptly
+        with pytest.raises(StopIteration):
+            next(it)
+
+    def gen():
+        yield {"n": 1}
+        raise RuntimeError("boom")
+
+    it2 = TransformIterator(gen(), lambda b: b)
+    assert next(it2)["n"] == 1
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it2)
+
+
+def test_transform_iterator_close_cascades_and_joins():
+    """close() stops the producer thread (join observable) and cascades to
+    an inner iterator that itself has close()."""
+    import time
+    from mrp_gnn_tpu.data.pipeline import TransformIterator
+
+    class Inner:
+        def __init__(self):
+            self.closed = False
+            self.i = 0
+
+        def __next__(self):
+            self.i += 1
+            time.sleep(0.001)
+            return {"n": self.i}
+
+        def close(self):
+            self.closed = True
+
+    inner = Inner()
+    it = TransformIterator(inner, lambda b: b, depth=1)
+    assert next(it)["n"] == 1
+    it.close()
+    assert inner.closed
+    assert not it._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)  # closed iterator terminates instead of hanging

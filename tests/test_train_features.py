@@ -134,3 +134,83 @@ def test_watchdog_can_be_disabled():
                halt_on_nonfinite=False)
     _, records = train(cfg)  # completes despite divergence
     assert len(records) == 5
+
+
+def test_stacker_state_aligns_with_groups():
+    """_MicrobatchStacker prefetches a stacked group ahead; get_state() must
+    reflect only the batches folded into groups already handed to the
+    consumer, so checkpointed data state never overshoots (ADVICE r3)."""
+    import time
+    from mrp_gnn_tpu.train import _MicrobatchStacker
+
+    class Counting:
+        def __init__(self):
+            self.i = 0
+            self.graph = object()
+
+        def __next__(self):
+            self.i += 1
+            return {"images": np.zeros((2, 4, 4, 3), np.float32),
+                    "depth": np.zeros((2, 4, 4), np.float32),
+                    "seg": np.zeros((2, 4, 4), np.int32),
+                    "graph": self.graph}
+
+        def get_state(self):
+            return self.i
+
+    inner = Counting()
+    st = _MicrobatchStacker(inner, accum=3)
+    assert st.get_state() is None  # nothing consumed yet
+    next(st)
+    time.sleep(0.1)  # let the producer build the NEXT group ahead
+    assert inner.i >= 6  # it DID run ahead...
+    assert st.get_state() == 3  # ...but state tracks delivered groups
+    next(st)
+    assert st.get_state() == 6
+    st.close()
+    assert not st._thread.is_alive()
+
+
+def test_stacker_close_cascades_to_inner():
+    from mrp_gnn_tpu.train import _MicrobatchStacker
+
+    class Inner:
+        def __init__(self):
+            self.closed = False
+
+        def __next__(self):
+            return {"images": np.zeros((1, 2, 2, 3), np.float32),
+                    "depth": np.zeros((1, 2, 2), np.float32),
+                    "seg": np.zeros((1, 2, 2), np.int32),
+                    "graph": None}
+
+        def close(self):
+            self.closed = True
+
+    inner = Inner()
+    st = _MicrobatchStacker(inner, accum=2)
+    next(st)
+    st.close()
+    assert inner.closed
+    assert not st._thread.is_alive()
+
+
+def test_train_leaves_no_producer_threads():
+    """Repeated in-process train() calls must not accumulate live pipeline
+    threads: the finally-close in train() stops every producer."""
+    import threading
+    cfg = _cfg(steps=2)
+    train(cfg)
+    n_after_first = threading.active_count()
+    train(cfg)
+    train(cfg)
+    assert threading.active_count() <= n_after_first
+
+
+def test_grain_loader_refuses_multiprocess(monkeypatch):
+    import jax
+    from mrp_gnn_tpu.data.pipeline import make_train_iterator
+    cfg = dataclasses.replace(_cfg().data, loader="grain")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process"):
+        make_train_iterator(cfg)
