@@ -110,7 +110,7 @@ def make_edge_block_bench(ops_impl, V, E, D, dk, iters, kind="block",
 
 
 def make_partitioned_local_bench(ops_impl, V, E, D, dk, iters, bf16=True,
-                                 check=False):
+                                 check=False, train=False):
     """Partitioned (config 5) edge block's local path on a 1-device graph
     mesh: all edges local, halo no-ops — what each shard sustains between
     exchanges. The pallas backend routes the local aggregate through the
@@ -158,10 +158,22 @@ def make_partitioned_local_bench(ops_impl, V, E, D, dk, iters, bf16=True,
         log(f"chip check partitioned_{ops_impl} vs oracle: "
             f"fwd_err={err:.2e} grad_err={gerr:.2e} OK")
 
+    if train:
+        # Training direction through the partitioned path: grad of a scalar
+        # loss w.r.t. the sharded values — the full ppermute halo + BSP
+        # backward inside shard_map (the contract's config-5 TRAIN rate).
+        def link(q, k, c):
+            loss = lambda vv: jnp.sum(
+                edge_fn(ops, "attention", q, k, vv, gb)
+                .astype(jnp.float32) ** 2)
+            return jax.grad(loss)(c).astype(c.dtype)
+    else:
+        def link(q, k, c):
+            return edge_fn(ops, "attention", q, k, c, gb).astype(c.dtype)
+
     def chained(q, k, v):
-        def body(c, _):
-            return edge_fn(ops, "attention", q, k, c, gb).astype(c.dtype), ()
-        return jax.lax.scan(body, v, None, length=iters)[0]
+        return jax.lax.scan(lambda c, _: (link(q, k, c), ()), v, None,
+                            length=iters)[0]
 
     fn = jax.jit(chained)
     jax.block_until_ready(fn(q, k, v))
@@ -255,7 +267,13 @@ def main():
              ("pallas_block_bf16", "pallas", "block", True, False)]
     if not args.skip_train:
         specs += [("train_xla_ell_bf16", "xla", "ell", True, True),
-                  ("train_pallas_ell_bf16", "pallas", "ell", True, True)]
+                  ("train_pallas_ell_bf16", "pallas", "ell", True, True),
+                  # block league (configs 3-4's regime) in the gradient
+                  # direction: the block backward is XLA block-dense einsum
+                  # math on both backends — this measures whether a Pallas
+                  # block backward kernel would be warranted (VERDICT r3 #4).
+                  ("train_xla_block_bf16", "xla", "block", True, True),
+                  ("train_pallas_block_bf16", "pallas", "block", True, True)]
 
     benches = {}
     for name, impl, kind, bf16, train in specs:
@@ -278,6 +296,18 @@ def main():
             log(f"compiled part_{impl}_bf16")
         except Exception as e:
             log(f"part_{impl}_bf16: unavailable ({type(e).__name__}: {e})")
+        if args.skip_train:
+            continue
+        # The contract's single most train-relevant rate (VERDICT r3 #1):
+        # edges/s for a PARTITIONED training step — gradients through the
+        # ppermute halo rings and the BSP backward kernels inside shard_map.
+        try:
+            benches[f"train_part_{impl}_bf16"] = make_partitioned_local_bench(
+                impl, V, E, D, dk, args.iters, bf16=True, train=True)
+            log(f"compiled train_part_{impl}_bf16")
+        except Exception as e:
+            log(f"train_part_{impl}_bf16: unavailable "
+                f"({type(e).__name__}: {e})")
 
     probe = make_stream_probe(V, D, args.iters)
     results, hbm = run_rounds(benches, probe, args.rounds)
@@ -303,8 +333,12 @@ def main():
                        "xla_block_bf16"),
                       ("train pallas/xla", "train_pallas_ell_bf16",
                        "train_xla_ell_bf16"),
+                      ("block train pallas/xla", "train_pallas_block_bf16",
+                       "train_xla_block_bf16"),
                       ("partitioned pallas/xla", "part_pallas_bf16",
-                       "part_xla_bf16")]:
+                       "part_xla_bf16"),
+                      ("partitioned train pallas/xla",
+                       "train_part_pallas_bf16", "train_part_xla_bf16")]:
         r = ratio(a, b)
         if r:
             log(f"{tag}: {r:.2f}x")

@@ -7,6 +7,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# Each test forks 2 fresh interpreters (cold jax import + compile, 280 s
+# timeouts) — the slow tier. Default CI runs `-m "not slow"`; run these with
+# `pytest -m ""` (docs/ci.md).
+pytestmark = pytest.mark.slow
 
 
 def _free_port() -> int:
