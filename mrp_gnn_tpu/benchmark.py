@@ -190,6 +190,179 @@ def bench_train(config_name="five_robot_attention", inner=20) -> list:
     return [rec]
 
 
+def _probe_ceilings(inner=30):
+    """In-run machine ceilings: stream bandwidth (permute chain — a data-
+    dependent gather cannot be fused away) and bf16 matmul FLOP rate (big
+    square matmul chain). Measured fresh because the axon-tunneled chip
+    drifts far below spec AND between runs (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    N = 4096
+    v = jnp.ones((N, 2048), jnp.bfloat16)
+    perm = jnp.asarray(np.random.default_rng(0).permutation(N))
+
+    def stream_chain(v):
+        return jax.lax.scan(lambda c, _: (c[perm], ()), v, None,
+                            length=inner)[0]
+
+    f = jax.jit(stream_chain)
+    jax.block_until_ready(f(v))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(v))
+    stream = 2 * N * 2048 * 2 * inner / (time.perf_counter() - t0)
+
+    a = jnp.ones((N, N), jnp.bfloat16)
+
+    def mm_chain(a):
+        return jax.lax.scan(
+            lambda c, _: ((c @ c * (1.0 / N)).astype(c.dtype), ()), a, None,
+            length=inner)[0]
+
+    g = jax.jit(mm_chain)
+    jax.block_until_ready(g(a))
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(a))
+    matmul = 2 * N**3 * inner / (time.perf_counter() - t0)
+    _log(f"ceilings: stream {stream/1e9:,.1f} GB/s, "
+         f"bf16 matmul {matmul/1e12:,.1f} TFLOP/s")
+    return stream, matmul
+
+
+def _cost(compiled) -> tuple:
+    """(flops, bytes) from XLA's cost analysis of a compiled program, or
+    (None, None) when the backend does not report it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)) or None,
+                float(ca.get("bytes accessed", 0.0)) or None)
+    except Exception:
+        return None, None
+
+
+def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
+    """Full-train-step accounting against the MACHINE (BASELINE.json:5
+    "speed-of-light", beyond the edge block): per-stage FLOPs + bytes from
+    XLA's cost analysis, per-stage wall-clock from data-dependent chains,
+    reported as achieved fraction of the IN-RUN measured matmul and stream
+    ceilings. The binding ceiling per stage gives a speed-of-light time;
+    sol_frac = t_sol / t_measured.
+
+    Chain protocol: every stage feeds ``x + 1e-20 * mean(out)`` forward so
+    the chain stays data-dependent (the tunnel returns cached nonsense for
+    repeat-identical dispatches) while adding only one scalar reduction of
+    the stage output to the measured traffic.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.config import get_config
+    from mrp_gnn_tpu.data.pipeline import make_dataset
+    from mrp_gnn_tpu.models.decoder import Decoder, DepthHead, SegHead
+    from mrp_gnn_tpu.models.encoder import Encoder
+    from mrp_gnn_tpu.models.fusion import GraphFusionLayer
+    from mrp_gnn_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step)
+
+    cfg = get_config(config_name)
+    mc = cfg.model
+    dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+    batch = next(iter(make_dataset(cfg.data, "train", shuffle=False)))
+    graph = batch["graph"]
+    state, model = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    params = state.params["params"]
+    images = jnp.asarray(batch["images"])
+
+    stream_bw, matmul_fl = _probe_ceilings()
+
+    enc = Encoder(mc.encoder_channels, mc.norm_groups, dtype)
+    skips, bottleneck = enc.apply({"params": params["encoder"]},
+                                  images.astype(dtype))
+    dec_mod = Decoder(mc.encoder_channels, mc.norm_groups, dtype)
+
+    stages = {}
+    stages["encoder"] = (lambda x: enc.apply({"params": params["encoder"]},
+                                             x)[1],
+                         images.astype(dtype))
+    if mc.fusion != "none":
+        fus = GraphFusionLayer(aggregation=mc.fusion,
+                               attention_dim=mc.attention_dim,
+                               attention_heads=mc.attention_heads,
+                               norm_groups=mc.norm_groups, dtype=dtype,
+                               ops_impl=cfg.parallel.ops_impl)
+        stages["fusion"] = (lambda x: fus.apply({"params": params["fusion0"]},
+                                                x, graph), bottleneck)
+    fused = (stages["fusion"][0](bottleneck) if mc.fusion != "none"
+             else bottleneck)
+    stages["decoder"] = (lambda x: dec_mod.apply({"params": params["decoder"]},
+                                                 skips, x), fused)
+    dec_out = stages["decoder"][0](fused)
+    heads = []
+    if mc.predict_depth:
+        dh = DepthHead(mc.min_depth, mc.max_depth, dtype)
+        heads.append(lambda x: dh.apply({"params": params["depth_head"]}, x))
+    if mc.num_seg_classes > 0:
+        sh = SegHead(mc.num_seg_classes, dtype)
+        heads.append(lambda x: sh.apply({"params": params["seg_head"]}, x))
+    if heads:
+        stages["heads"] = (lambda x: sum(jnp.sum(h(x)) for h in heads),
+                           dec_out)
+
+    out = []
+
+    def account(name, sec, flops, bts):
+        t_mm = flops / matmul_fl if flops else 0.0
+        t_st = bts / stream_bw if bts else 0.0
+        t_sol = max(t_mm, t_st, 1e-12)
+        rec = {"bench": "mfu", "config": config_name, "stage": name,
+               "sec": sec, "flops": flops, "bytes": bts,
+               "achieved_tflops": (flops / sec / 1e12) if flops else None,
+               "achieved_gbs": (bts / sec / 1e9) if bts else None,
+               "bound": "matmul" if t_mm >= t_st else "stream",
+               "sol_frac": t_sol / sec,
+               "stream_ceiling_gbs": stream_bw / 1e9,
+               "matmul_ceiling_tflops": matmul_fl / 1e12,
+               "backend": jax.default_backend()}
+        out.append(rec)
+        _log(f"{name:>10}: {sec*1e3:8.2f} ms  "
+             f"{(flops or 0)/1e9:8.2f} GFLOP {(bts or 0)/1e6:8.1f} MB  "
+             f"bound={rec['bound']}  sol={rec['sol_frac']:.2f}")
+
+    for name, (fn, x0) in stages.items():
+        def chained(x, fn=fn):
+            def body(c, _):
+                o = fn(c)
+                dep = (jnp.mean(o[1] if isinstance(o, tuple) else o)
+                       .astype(jnp.float32))
+                return (c + (1e-20 * dep).astype(c.dtype), ())
+            return jax.lax.scan(body, x, None, length=inner)[0]
+
+        f = jax.jit(chained)
+        flops, bts = _cost(jax.jit(fn).lower(x0).compile())
+        jax.block_until_ready(f(x0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x0))
+            best = min(best, (time.perf_counter() - t0) / inner)
+        account(name, best, flops, bts)
+
+    # full train step (fwd + bwd + optimizer), chained through the state
+    step_fn = make_train_step(cfg, model, make_optimizer(cfg), donate=False)
+    args = (images, jnp.asarray(batch["depth"]), jnp.asarray(batch["seg"]),
+            graph)
+    flops, bts = _cost(jax.jit(step_fn.__wrapped__).lower(state, *args)
+                       .compile())
+    s2, _ = step_fn(state, *args)
+    jax.block_until_ready(s2.params)
+    t0 = time.perf_counter()
+    for _ in range(inner):
+        s2, _ = step_fn(s2, *args)
+    jax.block_until_ready(s2.params)
+    account("train_step", (time.perf_counter() - t0) / inner, flops, bts)
+    return out
+
+
 def _scaling_graph(topology, scenes, robots, comm_radius=4):
     from mrp_gnn_tpu.graph import batch_homogeneous, scene_edges_for
     return batch_homogeneous(
@@ -393,8 +566,8 @@ def main(argv=None):
     apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="fusion",
-                   choices=["fusion", "train", "train_edge", "scaling",
-                            "overlap", "all"])
+                   choices=["fusion", "train", "train_edge", "mfu",
+                            "scaling", "overlap", "all"])
     p.add_argument("--topology", default="full", choices=["full", "radius"])
     p.add_argument("--exchange", default="boundary",
                    choices=["boundary", "all_gather"])
@@ -423,6 +596,9 @@ def main(argv=None):
         if args.what in ("train_edge", "all"):
             recs += bench_train_edge(args.nodes, args.feature_dim,
                                      inner=max(args.inner // 2, 10))
+        if args.what in ("mfu", "all"):
+            recs += bench_mfu(args.config,
+                              inner=max(args.inner // 2, 10))
         if args.what in ("scaling", "all"):
             recs += bench_scaling(inner=args.inner, topology=args.topology,
                                   exchange=args.exchange)

@@ -169,7 +169,10 @@ class DynamicGraphBuilder:
             max_nodes=max_nodes,
             max_edges=self.scenes_per_batch * n * max(n - 1, 1),
             max_degree=max(n - 1, 1),
-            max_bsp_pairs=int(full.bsp_pair_dst.shape[0]),
+            # > 128-degree capacity graphs carry no BSP plan (the kernels'
+            # unroll cap; dynamic streams use the XLA gather path there).
+            max_bsp_pairs=(int(full.bsp_pair_dst.shape[0])
+                           if full.bsp_pair_dst is not None else None),
             backend=getattr(cfg, "graph_builder", "auto"),
         )
 

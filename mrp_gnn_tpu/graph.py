@@ -34,7 +34,7 @@ import numpy as np
                       "ell_src", "ell_mask", "bsp_pair_dst", "bsp_pair_src",
                       "bsp_pair_first", "bsp_pair_last", "bsp_pair_dst_t",
                       "bsp_pair_src_t", "bsp_pair_first_t", "bsp_pair_last_t",
-                      "partition_plan"],
+                      "partition_plan", "bsp_expanded"],
          meta_fields=["scene_stride", "bsp_tile"])
 @dataclasses.dataclass(frozen=True)
 class GraphBatch:
@@ -101,6 +101,12 @@ class GraphBatch:
     # partitioned path so the plan rides the batch pytree into the jitted
     # step. None for static-topology runs (the plan is compiled in).
     partition_plan: object | None = None
+    # High-degree extension (docs/kernels.md "Degree cap"): when the ELL
+    # width exceeds the BSP kernels' 128-column unroll cap, a row-expanded
+    # plan over the RECTANGULAR (V*rows dst, V src) tile space lets the same
+    # kernels run — see BspExpandedPlan / build_expanded_bsp. None when the
+    # graph is within the cap (or has no BSP plan at all).
+    bsp_expanded: "BspExpandedPlan | None" = None
 
     @property
     def max_degree(self) -> int:
@@ -121,6 +127,77 @@ class GraphBatch:
         if not self.scene_stride:
             raise ValueError("graph has no block-diagonal layout")
         return self.max_nodes // self.scene_stride
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["pair_dst", "pair_src", "pair_first", "pair_last",
+                      "pair_dst_t", "pair_src_t", "pair_first_t",
+                      "pair_last_t"],
+         meta_fields=["rows", "width"])
+@dataclasses.dataclass(frozen=True)
+class BspExpandedPlan:
+    """Row-expanded tile-pair plan for ELL widths past the kernels' 128-
+    column unroll cap (docs/kernels.md "Degree cap and the designed
+    extension").
+
+    The [V, deg] neighbour list is viewed as [V*rows, width] (row-major:
+    node v's list splits across expanded rows v*rows .. v*rows+rows-1), and
+    the UNCHANGED BSP kernels run over the rectangular (V*rows dst, V src)
+    tile space: pair_dst indexes expanded-destination tiles, pair_src
+    original source tiles. Linear aggregations reshape-sum the [V*rows, D]
+    partials; attention composes expanded SDDMM -> row softmax on the
+    re-folded [V, rows*width] logits -> expanded SpMM
+    (ops/pallas_bsp.py attention_expanded). The transposed (src-major)
+    arrays drive the backward kernels, whose outputs have V rows.
+    """
+
+    pair_dst: jax.Array
+    pair_src: jax.Array
+    pair_first: jax.Array
+    pair_last: jax.Array
+    pair_dst_t: jax.Array
+    pair_src_t: jax.Array
+    pair_first_t: jax.Array
+    pair_last_t: jax.Array
+    rows: int
+    width: int
+
+
+def expanded_ell_shape(deg: int, cap: int = 128) -> tuple[int, int]:
+    """(rows, width) of the row-expanded view of an ELL width ``deg``:
+    the fewest expansion rows keeping width <= cap, width rounded up to a
+    lane-friendly multiple of 8 (padding columns are mask-False)."""
+    rows = -(-deg // cap)
+    width = _round_up_int(-(-deg // rows), 8)
+    return rows, width
+
+
+def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
+                       tile: int, cap: int = 128) -> BspExpandedPlan:
+    """Host-side expanded tile-pair plan for a high-degree ELL layout.
+
+    Pure layout derivation: the expanded neighbour-list arrays themselves
+    are never stored — ops re-derive them from ell_src/ell_mask with a pad
+    + reshape at trace time (cheap, fused by XLA), guaranteed to match this
+    builder because both use the same row-major [V, rows*width] view.
+    """
+    V, deg = ell_src.shape
+    rows, width = expanded_ell_shape(deg, cap)
+    pad = rows * width - deg
+    src_x = np.pad(np.asarray(ell_src), ((0, 0), (0, pad))).reshape(
+        V * rows, width)
+    mask_x = np.pad(np.asarray(ell_mask), ((0, 0), (0, pad))).reshape(
+        V * rows, width)
+    nt_src = V // tile
+    pairs = build_bsp_pairs(src_x, mask_x, tile, num_src_tiles=nt_src)
+    pairs_t = derive_bsp_pairs_t(pairs[0], pairs[1], pairs[3], nt_src)
+    return BspExpandedPlan(
+        pair_dst=pairs[0], pair_src=pairs[1],
+        pair_first=pairs[2], pair_last=pairs[3],
+        pair_dst_t=jnp.asarray(pairs_t[0]), pair_src_t=jnp.asarray(pairs_t[1]),
+        pair_first_t=jnp.asarray(pairs_t[2]),
+        pair_last_t=jnp.asarray(pairs_t[3]),
+        rows=rows, width=width)
 
 
 def _round_up_int(x: int, m: int) -> int:
@@ -315,9 +392,19 @@ def build_graph_batch(
     bsp_tile = 0
     pairs = (None,) * 4
     pairs_t = (None,) * 4
+    expanded = None
     for t in (128, 256, 64, 32, 16, 8):
         if max_nodes % t == 0:
             bsp_tile = t
+            if max_deg > 128:
+                # Past the kernels' 128-column unroll cap: build the row-
+                # expanded rectangular plan instead (docs/kernels.md). Only
+                # for non-capacity-pinned (static) graphs — dynamic high-
+                # degree streams would need a pinned expanded-plan length
+                # and fall back to the XLA gather path instead.
+                if max_bsp_pairs is None and max_degree is None:
+                    expanded = build_expanded_bsp(ell_src, ell_mask, t)
+                break
             pairs = build_bsp_pairs(ell_src, ell_mask, t,
                                     max_pairs=max_bsp_pairs)
             nt = max_nodes // t
@@ -349,11 +436,13 @@ def build_graph_batch(
         bsp_pair_last_t=(jnp.asarray(pairs_t[3])
                          if pairs_t[3] is not None else None),
         bsp_tile=bsp_tile,
+        bsp_expanded=expanded,
     )
 
 
 def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
-                    max_pairs: int | None = None):
+                    max_pairs: int | None = None,
+                    num_src_tiles: int | None = None):
     """Host-side (dst tile, src tile) pair plan for the block-sparse kernels.
 
     Returns (pair_dst, pair_src, pair_first, pair_last) int32 arrays, pairs
@@ -366,14 +455,20 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
     on last=1, so inert steps can only touch the already-emitted accumulator
     of the final tile and never change any output (tests/test_pallas_bsp.py
     padded-plan cases).
+
+    ``num_src_tiles`` bounds the RECTANGULAR case (row-expanded plans have
+    more destination tiles than source tiles): the edge-less dst tile
+    fallback must still name a valid source tile.
     """
     V = ell_src.shape[0]
     nt = V // tile
+    nts = num_src_tiles if num_src_tiles is not None else nt
     pd, ps, fi, la = [], [], [], []
     for t in range(nt):
         rows = slice(t * tile, (t + 1) * tile)
         srcs = np.asarray(ell_src[rows])[np.asarray(ell_mask[rows])]
-        tiles = sorted(set((srcs // tile).tolist())) if srcs.size else [t]
+        tiles = (sorted(set((srcs // tile).tolist())) if srcs.size
+                 else [min(t, nts - 1)])
         for i, s in enumerate(tiles):
             pd.append(t)
             ps.append(int(s))
@@ -385,7 +480,7 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
                              f"{max_pairs}")
         pad = max_pairs - len(pd)
         pd += [nt - 1] * pad
-        ps += [nt - 1] * pad
+        ps += [nts - 1] * pad
         fi += [0] * pad
         la += [0] * pad
     return (jnp.asarray(np.array(pd, np.int32)),

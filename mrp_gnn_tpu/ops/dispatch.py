@@ -89,6 +89,10 @@ def _pallas_ops() -> EdgeOps:
         # benchmarking but are not the dispatch path.
         if B.supports(graph):
             return B.bsp_attention_fused(q, k, values, graph)
+        if B.supports_expanded(graph):
+            # > 128 in-neighbours: row-expanded rectangular plan keeps the
+            # same kernels streaming whole tiles (docs/kernels.md).
+            return B.expanded_attention(q, k, values, graph)
         return xla_ell_attention(q, k, values, graph)
 
     def block_fused_attention(q, k, values, graph):
@@ -102,6 +106,8 @@ def _pallas_ops() -> EdgeOps:
     def ell_mean(values, graph):
         if B.supports(graph):
             return B.bsp_mean(values, graph)
+        if B.supports_expanded(graph):
+            return B.expanded_mean(values, graph)
         ones = graph.ell_mask.astype(values.dtype)
         return R.ell_aggregate(ones, values, graph.ell_src, graph.ell_mask,
                                "mean")  # XLA gather beats per-row DMA

@@ -66,6 +66,25 @@ def _sds(shape, dtype, vma: frozenset):
             else jax.ShapeDtypeStruct(shape, dtype))
 
 
+
+def _col_loop(deg, body, init):
+    """Iterate the one-hot column build: static unroll for narrow ELL widths
+    (fastest — Mosaic schedules the straight-line chain), lax.fori_loop past
+    32 columns. The unrolled form allocates its temporaries on the Mosaic
+    stack, which scales with the unroll depth (~2 x Tv x Ts x 4 bytes per
+    column) and blows the 16 MB scoped-vmem limit near width 128 (seen on
+    chip at the expanded width-128 plan); the rolled loop keeps the stack
+    constant. Loop-dynamic ``j`` is fine: the body only ever COMPARES
+    against j (one-hot reduces), never indexes the lane dimension with it.
+    """
+    if deg <= 32:
+        c = init
+        for j in range(deg):
+            c = body(j, c)
+        return c
+    return jax.lax.fori_loop(0, deg, body, init, unroll=False)
+
+
 # --- kernel 1: fused SDDMM + segment softmax --------------------------------
 
 
@@ -92,15 +111,18 @@ def _weights_kernel(pd_ref, ps_ref, first_ref, last_ref,
     dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
     src = src_ref[:]
 
-    acc = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
-                    logit_acc[:])
-    for j in range(deg):  # static unroll over ELL columns
+    acc0 = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
+                     logit_acc[:])
+
+    def col_w(j, acc):
         # column j of src via one-hot reduce (width-1 lane slices are not
         # tile-aligned on TPU; reductions are)
         srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
         sel = (col == srcj).astype(jnp.float32)        # [Tv, Ts]
         lj = jnp.sum(qk * sel, axis=1, keepdims=True)  # [Tv, 1]
-        acc = acc + lj * (dcol == j).astype(jnp.float32)
+        return acc + lj * (dcol == j).astype(jnp.float32)
+
+    acc = _col_loop(deg, col_w, acc0)
     logit_acc[:] = acc
 
     @pl.when(last_ref[p] == 1)
@@ -175,7 +197,7 @@ def _bsp_weights_bwd(T, interpret, res, g):
     # dk[s] = sum_{v,j: src=s} dlog[v,j] q[v]  == transposed SpMM(dlog, q).
     dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
     dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
-                          out_dtype=k.dtype)
+                          out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_) + nones
 
 
@@ -198,11 +220,12 @@ def _spmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
     src = src_ref[:]
     alpha = alpha_ref[:]
 
-    A = jnp.zeros((Tv, Ts), jnp.float32)
-    for j in range(deg):  # static unroll
+    def col_a(j, A):
         srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
         aj = jnp.sum(jnp.where(dcol == j, alpha, 0.0), axis=1, keepdims=True)
-        A = A + aj * (col == srcj).astype(jnp.float32)
+        return A + aj * (col == srcj).astype(jnp.float32)
+
+    A = _col_loop(deg, col_a, jnp.zeros((Tv, Ts), jnp.float32))
     # bf16 values ride the MXU natively — pin DEFAULT precision explicitly:
     # fp32 contract precision on bf16 operands is rejected by Mosaic, and a
     # global jax_default_matmul_precision=highest would otherwise leak in.
@@ -222,11 +245,16 @@ def _spmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
         out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _pick_feat_tile(D: int, interpret: bool):
+def _pick_feat_tile(D: int, interpret: bool, dtype=None):
     # Widest tile wins (chip sweep, BASELINE.md): the one-hot A build runs
     # once per (pair, feature tile), so fewer feature tiles amortize it.
+    # Budgeted by BYTES, not columns: the kernels hold value/out/acc blocks
+    # double-buffered in scoped VMEM, and f32 at 2048 columns blows the
+    # 16 MB scoped limit (seen on chip in the transposed-SpMM backward) —
+    # cap the tile at 4 KB rows (2048 cols bf16, 1024 cols f32).
+    width_cap = 4096 // (jnp.dtype(dtype).itemsize if dtype is not None else 2)
     for t in (2048, 1024, 512, 256, 128):
-        if D % t == 0:
+        if t <= width_cap and D % t == 0:
             return t
     return D if interpret else None
 
@@ -241,10 +269,13 @@ def _pad_lanes(x, mult=128):
 
 def _spmm_forward(alpha, values, ell_src, pd, ps, fi, la, T, interpret):
     values, D_orig = _pad_lanes(values)
-    V, D = values.shape
+    D = values.shape[1]
+    # Output rows follow the DESTINATION side (alpha/ell_src): equals the
+    # value rows for square plans, V*rows for row-expanded rectangular ones.
+    V = alpha.shape[0]
     deg = ell_src.shape[1]
     num_pairs = pd.shape[0]
-    Tf = _pick_feat_tile(D, interpret)
+    Tf = _pick_feat_tile(D, interpret, values.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(D // Tf, num_pairs),
@@ -314,13 +345,16 @@ def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
     dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
     src = src_ref[:]
 
-    acc = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
-                    acc_ref[:])
-    for j in range(deg):  # static unroll over ELL columns
+    acc0 = jnp.where(first_ref[p] == 1, jnp.zeros((Tv, deg), jnp.float32),
+                     acc_ref[:])
+
+    def col_l(j, acc):
         srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
         sel = (col == srcj).astype(jnp.float32)
         lj = jnp.sum(ab * sel, axis=1, keepdims=True)
-        acc = acc + lj * (dcol == j).astype(jnp.float32)
+        return acc + lj * (dcol == j).astype(jnp.float32)
+
+    acc = _col_loop(deg, col_l, acc0)
     acc_ref[:] = acc
 
     @pl.when(last_ref[p] == 1)
@@ -391,11 +425,12 @@ def _spmm_t_kernel(pd_ref, ps_ref, first_ref, last_ref,
     src = src_ref[:]
     alpha = alpha_ref[:]
 
-    A = jnp.zeros((Tv, Ts), jnp.float32)
-    for j in range(deg):  # static unroll
+    def col_a(j, A):
         srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
         aj = jnp.sum(jnp.where(dcol == j, alpha, 0.0), axis=1, keepdims=True)
-        A = A + aj * (col == srcj).astype(jnp.float32)
+        return A + aj * (col == srcj).astype(jnp.float32)
+
+    A = _col_loop(deg, col_a, jnp.zeros((Tv, Ts), jnp.float32))
     contrib = jax.lax.dot_general(
         A.astype(x_ref.dtype), x_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -409,13 +444,19 @@ def _spmm_t_kernel(pd_ref, ps_ref, first_ref, last_ref,
 
 
 def _spmm_t_forward(alpha, x, ell_src, pdt, pst, fit, lat, T, interpret,
-                    out_dtype=None):
-    """out[s] = sum_{v,j: ell_src[v,j]=s, pair in plan} alpha[v,j] * x[v]."""
+                    out_dtype=None, out_rows=None):
+    """out[s] = sum_{v,j: ell_src[v,j]=s, pair in plan} alpha[v,j] * x[v].
+
+    out_rows: SOURCE-side row count of the output — defaults to x's rows
+    (square plans); must be passed for rectangular row-expanded plans where
+    the dst side has V*rows rows but sources live in the original [V) space.
+    """
     x, D_orig = _pad_lanes(x)
-    V, D = x.shape
+    D = x.shape[1]
+    V = out_rows if out_rows is not None else x.shape[0]
     deg = ell_src.shape[1]
     num_pairs = pdt.shape[0]
-    Tf = _pick_feat_tile(D, interpret)
+    Tf = _pick_feat_tile(D, interpret, x.dtype)
     out_dtype = out_dtype or x.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -470,7 +511,8 @@ def _bsp_spmm_bwd(T, interpret, res, g):
         return (dalpha.astype(alpha.dtype), dvalues, None) + nones
     dalpha = _sddmm_forward(g, values, src, pd, ps, fi, la, T, interpret)
     dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
-                              interpret, out_dtype=values.dtype)
+                              interpret, out_dtype=values.dtype,
+                              out_rows=values.shape[0])
     return (dalpha.astype(alpha.dtype), dvalues, None) + nones
 
 
@@ -516,11 +558,12 @@ def _fused_kernel(pd_ref, ps_ref, first_ref, last_ref,
 
     # E[v, c] = multiplicity of edge (c+base -> v) among the VALID ELL slots
     # (duplicate edges sum correctly; masked slots contribute nothing).
-    E = jnp.zeros((Tv, Ts), jnp.float32)
-    for j in range(deg):  # static unroll over ELL columns
+    def col_e(j, E):
         srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
         mj = jnp.sum(jnp.where(dcol == j, maskf, 0.0), axis=1, keepdims=True)
-        E = E + mj * (col == srcj).astype(jnp.float32)
+        return E + mj * (col == srcj).astype(jnp.float32)
+
+    E = _col_loop(deg, col_e, jnp.zeros((Tv, Ts), jnp.float32))
 
     first = first_ref[p] == 1
     m_old = jnp.where(first, jnp.full((Tv, 1), _NEG, jnp.float32),
@@ -560,7 +603,7 @@ def _fused_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la, T,
     dk = q.shape[1]
     deg = ell_src.shape[1]
     num_pairs = pd.shape[0]
-    Tf = _pick_feat_tile(D, interpret)
+    Tf = _pick_feat_tile(D, interpret, values.dtype)
     mask_i = ell_mask.astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -648,16 +691,137 @@ def _bsp_fused_bwd(T, interpret, res, g):
     alpha = _weights_forward(q, k, src, mask_i, pd, ps, fi, la, T, interpret)
     dalpha = _sddmm_forward(g, values, src, pd, ps, fi, la, T, interpret)
     dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
-                              interpret, out_dtype=values.dtype)
+                              interpret, out_dtype=values.dtype,
+                              out_rows=values.shape[0])
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
     dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
     dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
-                          out_dtype=k.dtype)
+                          out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + nones
 
 
 _bsp_fused.defvjp(_bsp_fused_fwd, _bsp_fused_bwd)
+
+
+# --- raw block-sparse SDDMM (differentiable) ---------------------------------
+#
+# out[v, j] = <a[v], b[src[v, j]]> with NO softmax — the building block the
+# row-expanded high-degree path composes with an XLA row softmax on the
+# re-folded logits. Rectangular-safe: a (dst side) may have more rows than
+# b (src side).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _bsp_sddmm(a, b, ell_src, pd, ps, fi, la, pdt, pst, fit, lat,
+               T, interpret):
+    return _sddmm_forward(a, b, ell_src, pd, ps, fi, la, T, interpret)
+
+
+def _bsp_sddmm_fwd(a, b, ell_src, pd, ps, fi, la, pdt, pst, fit, lat,
+                   T, interpret):
+    out = _sddmm_forward(a, b, ell_src, pd, ps, fi, la, T, interpret)
+    return out, (a, b, ell_src, pd, ps, fi, la, pdt, pst, fit, lat)
+
+
+def _bsp_sddmm_bwd(T, interpret, res, g):
+    a, b, src, pd, ps, fi, la, pdt, pst, fit, lat = res
+    # da[v] = sum_j g[v,j] b[src[v,j]]      (forward SpMM over the dst plan)
+    # db[s] = sum_{v,j: src=s} g[v,j] a[v]  (transposed SpMM, src-major plan)
+    da = _spmm_forward(g, b, src, pd, ps, fi, la, T, interpret)
+    db = _spmm_t_forward(g, a, src, pdt, pst, fit, lat, T, interpret,
+                         out_dtype=b.dtype, out_rows=b.shape[0])
+    return (da.astype(a.dtype), db) + (None,) * 9
+
+
+_bsp_sddmm.defvjp(_bsp_sddmm_fwd, _bsp_sddmm_bwd)
+
+
+# --- high-degree row-expanded entry points -----------------------------------
+#
+# ELL widths past the kernels' 128-column unroll cap run over the row-
+# expanded RECTANGULAR plan (graph.BspExpandedPlan): the [V, deg] neighbour
+# list is viewed as [V*R, W<=128] and the UNCHANGED kernels run over
+# (V*R dst, V src) tiles; linear aggregations reshape-sum the partials,
+# attention composes expanded SDDMM -> row softmax on the re-folded
+# [V, R*W] logits -> expanded SpMM -> reshape-sum. docs/kernels.md
+# "Degree cap and the designed extension".
+
+
+def _expand_ell(graph):
+    """Trace-time [V*R, W] view of ell_src/ell_mask matching the host-side
+    layout build_expanded_bsp derived the plan from (row-major reshape)."""
+    xp = graph.bsp_expanded
+    V, deg = graph.ell_src.shape
+    pad = xp.rows * xp.width - deg
+    src_x = jnp.pad(graph.ell_src, ((0, 0), (0, pad))).reshape(-1, xp.width)
+    mask_x = jnp.pad(graph.ell_mask, ((0, 0), (0, pad))).reshape(-1, xp.width)
+    return src_x, mask_x
+
+
+def _xplan_args(xp):
+    return (xp.pair_dst, xp.pair_src, xp.pair_first, xp.pair_last,
+            xp.pair_dst_t, xp.pair_src_t, xp.pair_first_t, xp.pair_last_t)
+
+
+def supports_expanded(graph) -> bool:
+    """True when the batch carries a row-expanded high-degree plan."""
+    return (graph.bsp_tile > 0 and graph.ell_src is not None
+            and graph.bsp_expanded is not None)
+
+
+def expanded_weighted_aggregate(weights: jax.Array, values: jax.Array,
+                                graph) -> jax.Array:
+    """out[v] = sum_j weights[v, j] * values[ell_src[v, j]] for ELL widths
+    past the unroll cap: expanded SpMM over the rectangular plan, then a
+    reshape-sum of the R per-row partials. weights [V, deg] must already be
+    0 on masked slots."""
+    xp = graph.bsp_expanded
+    V, deg = graph.ell_src.shape
+    src_x, _ = _expand_ell(graph)
+    pad = xp.rows * xp.width - deg
+    w_x = jnp.pad(weights.astype(jnp.float32),
+                  ((0, 0), (0, pad))).reshape(-1, xp.width)
+    out_x = _bsp_spmm(w_x, values, src_x, *_xplan_args(xp),
+                      graph.bsp_tile, _interpret())            # [V*R, D]
+    return (out_x.reshape(V, xp.rows, -1).astype(jnp.float32).sum(axis=1)
+            .astype(values.dtype))
+
+
+def expanded_mean(values: jax.Array, graph) -> jax.Array:
+    maskf = graph.ell_mask.astype(jnp.float32)
+    deg = jnp.maximum(maskf.sum(axis=1, keepdims=True), 1.0)
+    return expanded_weighted_aggregate(maskf / deg, values, graph)
+
+
+def expanded_attention(q: jax.Array, k: jax.Array, values: jax.Array,
+                       graph) -> jax.Array:
+    """Edge attention for >128-degree graphs, same semantics as
+    bsp_attention: scaled logits, masked segment softmax per destination,
+    weighted aggregation — all three sweeps on the block-sparse kernels,
+    softmax in XLA on the re-folded [V, R*W] logits (pure elementwise)."""
+    interpret = _interpret()
+    xp = graph.bsp_expanded
+    V, deg = graph.ell_src.shape
+    src_x, mask_x = _expand_ell(graph)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    q_x = jnp.repeat(q.astype(jnp.float32) * scale, xp.rows, axis=0)
+    logits_x = _bsp_sddmm(q_x, k.astype(jnp.float32), src_x,
+                          *_xplan_args(xp), graph.bsp_tile,
+                          interpret)                           # [V*R, W]
+    logits = logits_x.reshape(V, xp.rows * xp.width)
+    mask = mask_x.reshape(V, xp.rows * xp.width)
+    x = jnp.where(mask, logits, _NEG)
+    mx = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(x, axis=-1, keepdims=True), _NEG / 2))
+    e = jnp.where(mask, jnp.exp(x - mx), 0.0)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+    alpha_x = alpha.reshape(-1, xp.width)
+    out_x = _bsp_spmm(alpha_x, values, src_x, *_xplan_args(xp),
+                      graph.bsp_tile, interpret)               # [V*R, D]
+    return (out_x.reshape(V, xp.rows, -1).astype(jnp.float32).sum(axis=1)
+            .astype(values.dtype))
 
 
 # --- public entry ------------------------------------------------------------

@@ -77,6 +77,7 @@ def test_dynamic_mobility_validation():
         make_dataset(cfg.data, "train")
 
 
+@pytest.mark.slow
 def test_dynamic_train_short_run():
     import jax
     from mrp_gnn_tpu.train import train
@@ -257,6 +258,7 @@ def test_dynamic_partitioned_capacity_violation_raises():
         partition_batch(g, 2, 4, bad)
 
 
+@pytest.mark.slow
 def test_dynamic_partitioned_train_short_run():
     import jax
     from mrp_gnn_tpu.train import train
@@ -272,6 +274,7 @@ def test_dynamic_partitioned_train_short_run():
     assert int(jax.device_get(state.step)) == 4
 
 
+@pytest.mark.slow
 def test_dynamic_partitioned_grad_accum_train():
     """Full composition: dynamic topology x edge partitioning x gradient
     accumulation — per-microbatch plans ride the stacked graph pytree into

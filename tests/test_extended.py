@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrp_gnn_tpu.config import get_config
 from mrp_gnn_tpu.graph import batch_fully_connected
@@ -25,6 +26,7 @@ def _tiny(cfg_name, steps=10, **model_kw):
     return cfg.replace(data=data, model=model, train=tr)
 
 
+@pytest.mark.slow
 def test_bf16_model_trains():
     cfg = _tiny("five_robot_attention", steps=20, dtype="bfloat16")
     _, records = train(cfg)
@@ -51,6 +53,7 @@ def test_multi_layer_fusion_trains():
     assert records[-1]["total"] < records[0]["total"] * 1.2
 
 
+@pytest.mark.slow
 def test_partitioned_train_then_eval(tmp_path):
     """Config-5 style: train 4 steps partitioned over 8 devices with
     checkpointing, then restore and evaluate with the partitioned path."""
@@ -83,6 +86,7 @@ def test_partitioned_train_then_eval(tmp_path):
     assert int(state2.step) == 6
 
 
+@pytest.mark.slow
 def test_tensorboard_writer(tmp_path):
     cfg = _tiny("single_robot_depth", steps=4)
     cfg = cfg.replace(train=dataclasses.replace(
@@ -95,6 +99,7 @@ def test_tensorboard_writer(tmp_path):
     assert any("tfevents" in f for f in files), files
 
 
+@pytest.mark.slow
 def test_depth_loss_variants_train():
     for loss in ("berhu", "silog"):
         cfg = _tiny("single_robot_depth", steps=10)

@@ -55,6 +55,7 @@ def test_grain_state_seek_matches_sequential():
     np.testing.assert_allclose(got["depth"], expected["depth"])
 
 
+@pytest.mark.slow
 def test_training_through_grain_loader():
     cfg = get_config("two_robot_mean")
     cfg = cfg.replace(

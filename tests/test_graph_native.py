@@ -68,6 +68,7 @@ def test_native_capacity_errors():
             max_bsp_pairs=None)
 
 
+@pytest.mark.slow
 def test_padded_pair_plan_is_inert():
     """Extra inert pairs (static max_bsp_pairs capacity) never change kernel
     outputs — fused one-pass, two-pass, and mean aggregation."""

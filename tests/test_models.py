@@ -88,6 +88,7 @@ def test_heterogeneous_team_sizes_forward():
     assert np.abs(fused[9:]).max() == 0  # 3 padded node slots zeroed
 
 
+@pytest.mark.slow
 def test_multihead_attention_forward_and_train():
     import dataclasses as dc
     cfg = get_config("five_robot_attention")

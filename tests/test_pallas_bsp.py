@@ -280,6 +280,7 @@ def test_bsp_backward_wide_features():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bsp_multi_head_vmap():
     """attention_heads > 1 vmaps the whole edge block over the head axis —
     the BSP kernels must batch correctly under vmap (fwd and bwd)."""
@@ -300,3 +301,116 @@ def test_bsp_multi_head_vmap():
         assert bool(jnp.isfinite(g).all())
     np.testing.assert_allclose(np.asarray(outs["pallas"]),
                                np.asarray(outs["xla"]), rtol=1e-4, atol=1e-4)
+
+
+# --- high-degree row-expansion (docs/kernels.md "Degree cap") ----------------
+
+
+def _hd_graph(n_robots, max_nodes):
+    from mrp_gnn_tpu.graph import fully_connected_edges
+    return batch_homogeneous(1, n_robots, fully_connected_edges(n_robots),
+                             max_nodes=max_nodes)
+
+
+@pytest.mark.parametrize("n,V", [(193, 256), (257, 384)])  # deg 192 / 256
+def test_expanded_plan_built_past_cap(n, V):
+    gb = _hd_graph(n, V)
+    assert not B.supports(gb)          # past the 128-column unroll cap
+    assert B.supports_expanded(gb)
+    xp = gb.bsp_expanded
+    assert xp.rows * xp.width >= gb.ell_src.shape[1]
+    assert xp.width <= 128
+    # expanded dst tiles divide evenly; src tiles stay in the original space
+    assert (gb.max_nodes * xp.rows) % gb.bsp_tile == 0
+    assert int(np.asarray(xp.pair_src).max()) < gb.max_nodes // gb.bsp_tile
+
+
+@pytest.mark.parametrize("n,V", [(193, 256), (257, 384)])
+def test_expanded_attention_matches_oracle(n, V):
+    gb = _hd_graph(n, V)
+    q, k, v = _rand(gb)
+    got = B.expanded_attention(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_expanded_attention_gradients():
+    gb = _hd_graph(193, 256)
+    q, k, v = _rand(gb)
+    g_x = jax.grad(
+        lambda q, k, v: jnp.sum(B.expanded_attention(q, k, v, gb) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_x, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_expanded_mean_matches_oracle_and_grads():
+    gb = _hd_graph(193, 256)
+    _, _, v = _rand(gb)
+    got = B.expanded_mean(v, gb)
+    want = R.ell_aggregate(gb.ell_mask.astype(v.dtype), v, gb.ell_src,
+                           gb.ell_mask, "mean")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g_x = jax.grad(lambda v: jnp.sum(B.expanded_mean(v, gb) ** 2))(v)
+    g_ref = jax.grad(lambda v: jnp.sum(R.ell_aggregate(
+        gb.ell_mask.astype(v.dtype), v, gb.ell_src, gb.ell_mask,
+        "mean") ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_expanded_dispatch_routes_high_degree():
+    from mrp_gnn_tpu.ops import dispatch
+    gb = _hd_graph(193, 256)
+    ops = dispatch.get_ops("pallas")
+    q, k, v = _rand(gb)
+    got = ops.ell_attention(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    got_m = ops.ell_mean(v, gb)
+    want_m = R.ell_aggregate(gb.ell_mask.astype(v.dtype), v, gb.ell_src,
+                             gb.ell_mask, "mean")
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_expanded_padding_invariance():
+    """Adding empty padding nodes never changes valid rows."""
+    gb_a = _hd_graph(193, 256)
+    gb_b = _hd_graph(193, 384)  # extra all-padding tile rows
+    q, k, v = _rand(gb_a)
+    qb = jnp.pad(q, ((0, 128), (0, 0)))
+    kb = jnp.pad(k, ((0, 128), (0, 0)))
+    vb = jnp.pad(v, ((0, 128), (0, 0)))
+    a = B.expanded_attention(q, k, v, gb_a)
+    b = B.expanded_attention(qb, kb, vb, gb_b)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b)[:256],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bsp_rolled_column_loop_matches_oracle():
+    """ELL widths past the unroll threshold (32) take the lax.fori_loop
+    column build (_col_loop) — same math as the unrolled form, constant
+    Mosaic stack. Square-plan case at deg 40, values + grads."""
+    gb = batch_homogeneous(2, 64, radius_edges(64, 20))
+    assert gb.ell_src.shape[1] > 32  # fori path
+    assert B.supports(gb)
+    q, k, v = _rand(gb)
+    got = B.bsp_attention_fused(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    g_got = jax.grad(
+        lambda q, k, v: jnp.sum(B.bsp_attention_fused(q, k, v, gb) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

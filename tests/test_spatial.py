@@ -5,6 +5,7 @@ inserts the conv halo exchanges; training must match the unsharded run."""
 import dataclasses
 
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from mrp_gnn_tpu.config import get_config
@@ -29,6 +30,7 @@ def _losses(cfg):
     return np.array([r["total"] for r in records])
 
 
+@pytest.mark.slow
 def test_spatial_sharding_matches_unsharded():
     base = _losses(_cfg())
     spatial = _losses(_cfg(data_axis_size=2, model_axis_size=4,

@@ -57,6 +57,7 @@ def test_tp_matches_unsharded_training(axes):
     np.testing.assert_allclose(tp, base, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_composes_with_graph_partitioning():
     # 3D mesh: data x graph x model all non-trivial, attention fusion.
     base = _losses(_tiny("multitask_batched", 3, num_robots=4))
@@ -65,6 +66,7 @@ def test_tp_composes_with_graph_partitioning():
     np.testing.assert_allclose(combo, base, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_multihead_composes_with_partitioned_fusion():
     # attention_heads > 1 vmaps the shard_map edge block per head; the
     # 3-axis-mesh run must match single-device training.

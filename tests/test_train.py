@@ -61,6 +61,7 @@ def test_checkpoint_save_and_resume(tmp_path):
     assert not np.array_equal(np.asarray(state2.rng), np.asarray(state.rng))
 
 
+@pytest.mark.slow
 def test_resume_preserves_best_eval_state(tmp_path):
     cfg = _tiny("single_robot_depth", steps=6)
     cfg = cfg.replace(train=dataclasses.replace(

@@ -84,6 +84,7 @@ def test_eval_partial_batch_invariance():
                                    err_msg=f"metric {k}")
 
 
+@pytest.mark.slow
 def test_mesh_clamps_to_available_devices():
     # swarm_partitioned asks for graph_axis_size=8; on a machine with fewer
     # devices the mesh must degrade instead of failing the preset.
