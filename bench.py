@@ -81,6 +81,14 @@ def make_edge_block_bench(ops_impl, V, E, D, dk, iters, kind="block",
 
     gb = _make_graph(V, E, kind)
     ops = dispatch.get_ops(ops_impl)
+    if ops_impl == "pallas" and kind == "block":
+        # Dispatch routes the dense league to XLA (measured winner —
+        # ops/dispatch.py); this variant tracks the raw Pallas block KERNEL
+        # so the league A/B stays measurable.
+        import dataclasses as _dc
+        from mrp_gnn_tpu.ops import pallas_edge as _PE
+        ops = _dc.replace(ops,
+                          block_fused_attention=_PE.block_fused_attention)
     q, k, v = _rand_qkv(V, D, dk, bf16)
 
     if train:

@@ -96,12 +96,16 @@ def _pallas_ops() -> EdgeOps:
         return xla_ell_attention(q, k, values, graph)
 
     def block_fused_attention(q, k, values, graph):
-        # Tiny graphs (a handful of robots) are dominated by the kernel's
-        # fixed launch/pack cost; XLA's einsum path wins below ~4 MXU tiles
-        # (chip A/B: five_robot_attention trains 44% faster on xla).
-        if graph.max_nodes < 512:
-            return R.block_fused_attention(q, k, values, graph)
-        return P.block_fused_attention(q, k, values, graph)
+        # The dense block league is XLA's on this hardware AT EVERY SCALE:
+        # tiny graphs are dominated by kernel fixed costs (chip A/B:
+        # five_robot_attention trains 44% faster on xla), and at saturated-
+        # bus swarm scale a controlled 8-round interleaved A/B measured the
+        # Pallas block kernel at 0.94x +/- 0.05 of the XLA einsum path
+        # (scripts/dense_league_ab.py, BASELINE.md round 4) — the einsum
+        # formulation is already at the memory roofline and a kernel cannot
+        # beat a saturated bus. P.block_fused_attention stays available for
+        # benchmarking (bench.py calls it directly); dispatch routes XLA.
+        return R.block_fused_attention(q, k, values, graph)
 
     def ell_mean(values, graph):
         if B.supports(graph):
