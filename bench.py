@@ -351,8 +351,13 @@ def main():
         if r:
             log(f"{tag}: {r:.2f}x")
 
+    # Headline = best path a USER gets from dispatch. pallas_block_bf16
+    # times the raw Pallas block kernel (bench-only since round 4 — the
+    # dense league routes to XLA, ops/dispatch.py) so it is a diagnostic,
+    # not a dispatchable path; train_/part_ variants measure other regimes.
     headline = {k: v for k, v in results.items()
-                if not k.startswith(("train_", "part_"))}
+                if not k.startswith(("train_", "part_"))
+                and k != "pallas_block_bf16"}
     best_impl = max(headline, key=headline.get)
     best = headline[best_impl]
     vs = best / headline.get("xla_sparse", best)

@@ -190,14 +190,15 @@ def bench_train(config_name="five_robot_attention", inner=20) -> list:
     return [rec]
 
 
-def _probe_ceilings(inner=30):
+def _probe_ceilings(inner=30, reps=3):
     """In-run machine ceilings: stream bandwidth (permute chain — a data-
     dependent gather cannot be fused away) and bf16 matmul FLOP rate (big
-    square matmul chain). Measured fresh because the axon-tunneled chip
-    drifts far below spec AND between runs (BASELINE.md)."""
+    square matmul chain). Best of ``reps`` because the axon-tunneled chip
+    drifts far below spec AND between runs, with multi-x degraded windows
+    (BASELINE.md)."""
     import jax
     import jax.numpy as jnp
-    N = 4096
+    N = 8192
     v = jnp.ones((N, 2048), jnp.bfloat16)
     perm = jnp.asarray(np.random.default_rng(0).permutation(N))
 
@@ -207,22 +208,29 @@ def _probe_ceilings(inner=30):
 
     f = jax.jit(stream_chain)
     jax.block_until_ready(f(v))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(v))
-    stream = 2 * N * 2048 * 2 * inner / (time.perf_counter() - t0)
+    stream = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(v))
+        stream = max(stream,
+                     2 * N * 2048 * 2 * inner / (time.perf_counter() - t0))
 
-    a = jnp.ones((N, N), jnp.bfloat16)
+    M = 4096
+    a = jnp.ones((M, M), jnp.bfloat16)
 
     def mm_chain(a):
         return jax.lax.scan(
-            lambda c, _: ((c @ c * (1.0 / N)).astype(c.dtype), ()), a, None,
+            lambda c, _: ((c @ c * (1.0 / M)).astype(c.dtype), ()), a, None,
             length=inner)[0]
 
     g = jax.jit(mm_chain)
     jax.block_until_ready(g(a))
-    t0 = time.perf_counter()
-    jax.block_until_ready(g(a))
-    matmul = 2 * N**3 * inner / (time.perf_counter() - t0)
+    matmul = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(g(a))
+        matmul = max(matmul,
+                     2 * M**3 * inner / (time.perf_counter() - t0))
     _log(f"ceilings: stream {stream/1e9:,.1f} GB/s, "
          f"bf16 matmul {matmul/1e12:,.1f} TFLOP/s")
     return stream, matmul
@@ -275,15 +283,21 @@ def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
 
     stream_bw, matmul_fl = _probe_ceilings()
 
+    def nbytes(tree) -> int:
+        return int(sum(np.prod(l.shape) * jnp.dtype(l.dtype).itemsize
+                       for l in jax.tree_util.tree_leaves(tree)
+                       if hasattr(l, "shape")))
+
     enc = Encoder(mc.encoder_channels, mc.norm_groups, dtype)
     skips, bottleneck = enc.apply({"params": params["encoder"]},
                                   images.astype(dtype))
     dec_mod = Decoder(mc.encoder_channels, mc.norm_groups, dtype)
 
+    # stage name -> (fn, x0, params subtree for the traffic lower bound)
     stages = {}
     stages["encoder"] = (lambda x: enc.apply({"params": params["encoder"]},
                                              x)[1],
-                         images.astype(dtype))
+                         images.astype(dtype), params["encoder"])
     if mc.fusion != "none":
         fus = GraphFusionLayer(aggregation=mc.fusion,
                                attention_dim=mc.attention_dim,
@@ -291,44 +305,54 @@ def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
                                norm_groups=mc.norm_groups, dtype=dtype,
                                ops_impl=cfg.parallel.ops_impl)
         stages["fusion"] = (lambda x: fus.apply({"params": params["fusion0"]},
-                                                x, graph), bottleneck)
+                                                x, graph), bottleneck,
+                            params["fusion0"])
     fused = (stages["fusion"][0](bottleneck) if mc.fusion != "none"
              else bottleneck)
     stages["decoder"] = (lambda x: dec_mod.apply({"params": params["decoder"]},
-                                                 skips, x), fused)
+                                                 skips, x), fused,
+                         (params["decoder"], skips))
     dec_out = stages["decoder"][0](fused)
     heads = []
+    head_params = []
     if mc.predict_depth:
         dh = DepthHead(mc.min_depth, mc.max_depth, dtype)
         heads.append(lambda x: dh.apply({"params": params["depth_head"]}, x))
+        head_params.append(params["depth_head"])
     if mc.num_seg_classes > 0:
         sh = SegHead(mc.num_seg_classes, dtype)
         heads.append(lambda x: sh.apply({"params": params["seg_head"]}, x))
+        head_params.append(params["seg_head"])
     if heads:
         stages["heads"] = (lambda x: sum(jnp.sum(h(x)) for h in heads),
-                           dec_out)
+                           dec_out, head_params)
 
     out = []
 
-    def account(name, sec, flops, bts):
+    def account(name, sec, flops, logical_bytes, min_bytes):
+        """t_sol = the stage's speed-of-light time from the binding ceiling:
+        flops vs the probed matmul rate, MIN traffic (inputs + params +
+        outputs — a true lower bound; XLA's 'bytes accessed' counts logical
+        per-op accesses incl. fused intermediates and can exceed real HBM
+        traffic many-fold) vs the probed stream bandwidth."""
         t_mm = flops / matmul_fl if flops else 0.0
-        t_st = bts / stream_bw if bts else 0.0
+        t_st = min_bytes / stream_bw
         t_sol = max(t_mm, t_st, 1e-12)
         rec = {"bench": "mfu", "config": config_name, "stage": name,
-               "sec": sec, "flops": flops, "bytes": bts,
+               "sec": sec, "flops": flops, "logical_bytes": logical_bytes,
+               "min_bytes": min_bytes,
                "achieved_tflops": (flops / sec / 1e12) if flops else None,
-               "achieved_gbs": (bts / sec / 1e9) if bts else None,
                "bound": "matmul" if t_mm >= t_st else "stream",
                "sol_frac": t_sol / sec,
                "stream_ceiling_gbs": stream_bw / 1e9,
                "matmul_ceiling_tflops": matmul_fl / 1e12,
                "backend": jax.default_backend()}
         out.append(rec)
-        _log(f"{name:>10}: {sec*1e3:8.2f} ms  "
-             f"{(flops or 0)/1e9:8.2f} GFLOP {(bts or 0)/1e6:8.1f} MB  "
-             f"bound={rec['bound']}  sol={rec['sol_frac']:.2f}")
+        _log(f"{name:>10}: {sec*1e3:8.2f} ms  {(flops or 0)/1e9:8.2f} GFLOP"
+             f" {min_bytes/1e6:8.1f} MB(min) {(logical_bytes or 0)/1e6:8.1f}"
+             f" MB(logical)  bound={rec['bound']}  sol={rec['sol_frac']:.2f}")
 
-    for name, (fn, x0) in stages.items():
+    for name, (fn, x0, extra) in stages.items():
         def chained(x, fn=fn):
             def body(c, _):
                 o = fn(c)
@@ -339,13 +363,15 @@ def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
 
         f = jax.jit(chained)
         flops, bts = _cost(jax.jit(fn).lower(x0).compile())
+        out_shape = jax.eval_shape(fn, x0)
+        min_bytes = nbytes(x0) + nbytes(extra) + nbytes(out_shape)
         jax.block_until_ready(f(x0))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             jax.block_until_ready(f(x0))
             best = min(best, (time.perf_counter() - t0) / inner)
-        account(name, best, flops, bts)
+        account(name, best, flops, bts, min_bytes)
 
     # full train step (fwd + bwd + optimizer), chained through the state
     step_fn = make_train_step(cfg, model, make_optimizer(cfg), donate=False)
@@ -353,13 +379,18 @@ def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
             graph)
     flops, bts = _cost(jax.jit(step_fn.__wrapped__).lower(state, *args)
                        .compile())
+    # min traffic: read params + moments + batch, write params + moments
+    # (activations/remat traffic excluded — this is a LOWER bound).
+    min_bytes = (2 * nbytes(state.params) + 2 * nbytes(state.opt_state)
+                 + nbytes(args))
     s2, _ = step_fn(state, *args)
     jax.block_until_ready(s2.params)
     t0 = time.perf_counter()
     for _ in range(inner):
         s2, _ = step_fn(s2, *args)
     jax.block_until_ready(s2.params)
-    account("train_step", (time.perf_counter() - t0) / inner, flops, bts)
+    account("train_step", (time.perf_counter() - t0) / inner, flops, bts,
+            min_bytes)
     return out
 
 
