@@ -22,8 +22,10 @@ def _init_and_apply(cfg_name, num_scenes=2):
     return cfg, gb, out, params, model, images
 
 
-@pytest.mark.parametrize("name", ["single_robot_depth", "two_robot_mean",
-                                  "five_robot_attention", "multitask_batched"])
+@pytest.mark.parametrize("name", [
+    "single_robot_depth", "two_robot_mean",
+    pytest.param("five_robot_attention", marks=pytest.mark.slow),
+    pytest.param("multitask_batched", marks=pytest.mark.slow)])
 def test_forward_shapes_all_presets(name):
     cfg, gb, out, *_ = _init_and_apply(name)
     H, W = cfg.model.image_size

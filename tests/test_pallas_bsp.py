@@ -335,6 +335,7 @@ def test_expanded_attention_matches_oracle(n, V):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_expanded_attention_gradients():
     gb = _hd_graph(193, 256)
     q, k, v = _rand(gb)
@@ -380,6 +381,7 @@ def test_expanded_dispatch_routes_high_degree():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_expanded_padding_invariance():
     """Adding empty padding nodes never changes valid rows."""
     gb_a = _hd_graph(193, 256)

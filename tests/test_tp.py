@@ -49,7 +49,10 @@ def _losses(cfg, steps=4):
     return np.array([r["total"] for r in records])
 
 
-@pytest.mark.parametrize("axes", [(1, 1, 2), (2, 1, 2), (1, 1, 4)])
+@pytest.mark.parametrize("axes", [
+    (1, 1, 2),  # default tier; the wider meshes are the slow tier
+    pytest.param((2, 1, 2), marks=pytest.mark.slow),
+    pytest.param((1, 1, 4), marks=pytest.mark.slow)])
 def test_tp_matches_unsharded_training(axes):
     data_ax, graph_ax, model_ax = axes
     base = _losses(_tiny("single_robot_depth", 4))
