@@ -416,3 +416,27 @@ def test_bsp_rolled_column_loop_matches_oracle():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_expanded_through_fusion_layer_pallas_backend():
+    """The pallas backend routes >128-degree ELL attention through the
+    row-expanded kernels; the full fusion layer (projection convs, update,
+    multi-head loop) must agree with xla, single- and multi-head."""
+    from mrp_gnn_tpu.models.fusion import GraphFusionLayer
+    gb = _hd_graph(193, 256)
+    gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)  # force ELL
+    assert B.supports_expanded(gb)
+    V = gb.max_nodes
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(V, 2, 2, 16)).astype(np.float32))
+    for heads in (1, 2):
+        outs = {}
+        for impl in ("xla", "pallas"):
+            layer = GraphFusionLayer(aggregation="attention", attention_dim=8,
+                                     attention_heads=heads, ops_impl=impl)
+            params = layer.init(jax.random.PRNGKey(0), feats, gb)
+            outs[impl] = layer.apply(params, feats, gb)
+        np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                                   np.asarray(outs["xla"]),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"heads={heads}")

@@ -237,3 +237,34 @@ def test_partitioned_max_matches_unpartitioned():
     """Max aggregation decomposes over the local/remote split exactly."""
     expected, got = _run_both("max", data_ax=1, graph_ax=8)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_high_degree_matches_unpartitioned():
+    """> 128 in-neighbours: the partitioned local path falls back to the
+    XLA ELL gather (the BSP-in-shard_map cap — parallel/fused.py) and must
+    stay exact, values AND grads. Round-4 regression for the high-degree
+    extension era."""
+    from mrp_gnn_tpu.graph import fully_connected_edges
+    gb = batch_homogeneous(2, 193, fully_connected_edges(193),
+                           max_nodes=512)
+    assert gb.ell_src.shape[1] > 128
+    V, D, dk = gb.max_nodes, 32, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    mesh = make_mesh(1, 4)
+    plan = partition_graph(gb, 4)
+    edge_fn = make_partitioned_edge_fusion(mesh, plan)
+    got = jax.jit(lambda q, k, v: edge_fn(OPS, "attention", q, k, v,
+                                          gb))(q, k, v)
+    want = jax.jit(lambda q, k, v: default_edge_fusion(
+        OPS, "attention", q, k, v, gb))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.jit(jax.grad(lambda v: jnp.sum(
+        edge_fn(OPS, "attention", q, k, v, gb) ** 2)))(v)
+    g2 = jax.jit(jax.grad(lambda v: jnp.sum(
+        default_edge_fusion(OPS, "attention", q, k, v, gb) ** 2)))(v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
