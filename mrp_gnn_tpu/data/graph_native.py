@@ -112,7 +112,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def batch_from_positions_native(scene_positions, radius, max_nodes,
-                                max_edges, max_degree, max_bsp_pairs):
+                                max_edges, max_degree, max_bsp_pairs,
+                                max_expanded_pairs=None):
     """Native counterpart of graph.batch_from_positions' numpy path.
 
     Returns a GraphBatch, or None when the native library is unavailable or
@@ -172,13 +173,27 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
         # the final real pair is the last nonzero of `la`.
         real = int(np.nonzero(la)[0][-1]) + 1
         pd, ps, fi, la = pd[:real], ps[:real], fi[:real], la[:real]
-    # Transposed (src-major) plan for the backward kernels: derived from the
-    # dst-major arrays in numpy (graph.derive_bsp_pairs_t), so the C++
-    # builder needs no mirror implementation and bit-parity is by
-    # construction.
-    from mrp_gnn_tpu.graph import bsp_pairs_t_capacity, derive_bsp_pairs_t
-    pd_t, ps_t, fi_t, la_t = derive_bsp_pairs_t(
-        pd, ps, la, nt, max_pairs=bsp_pairs_t_capacity(max_bsp_pairs, nt))
+    # Past the kernels' 128-column unroll cap the square plan is unusable
+    # (graph.build_graph_batch builds none) — drop it for numpy parity and
+    # derive the row-expanded plan from the SAME ELL arrays instead (pure
+    # numpy, graph.build_expanded_bsp, bit-parity by construction).
+    expanded = None
+    if max_deg > 128:
+        from mrp_gnn_tpu.graph import build_expanded_bsp
+        if max_expanded_pairs is not None:
+            expanded = build_expanded_bsp(ell_src, ell_mask.astype(bool),
+                                          tile,
+                                          max_pairs=max_expanded_pairs)
+        pd_t = ps_t = fi_t = la_t = None
+        pd = ps = fi = la = None
+    else:
+        # Transposed (src-major) plan for the backward kernels: derived
+        # from the dst-major arrays in numpy (graph.derive_bsp_pairs_t), so
+        # the C++ builder needs no mirror implementation and bit-parity is
+        # by construction.
+        from mrp_gnn_tpu.graph import bsp_pairs_t_capacity, derive_bsp_pairs_t
+        pd_t, ps_t, fi_t, la_t = derive_bsp_pairs_t(
+            pd, ps, la, nt, max_pairs=bsp_pairs_t_capacity(max_bsp_pairs, nt))
 
     n_nodes = S * N
     node_mask = np.arange(max_nodes) < n_nodes
@@ -209,6 +224,7 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
         bsp_tile=tile,
         scene_adj=None,
         scene_stride=0,
+        bsp_expanded=expanded,
     )
 
 

@@ -169,8 +169,16 @@ class DynamicGraphBuilder:
             max_nodes=max_nodes,
             max_edges=self.scenes_per_batch * n * max(n - 1, 1),
             max_degree=max(n - 1, 1),
-            # > 128-degree capacity graphs carry no BSP plan (the kernels'
-            # unroll cap; dynamic streams use the XLA gather path there).
+            # > 128-degree capacity graphs carry no square BSP plan (the
+            # kernels' unroll cap). The row-expanded plan is NOT auto-
+            # pinned either: ELL packing re-ranks a subgraph's neighbour
+            # list, so a dynamic topology can touch MORE source tiles per
+            # expanded row than the full graph does — the full-plan length
+            # is not a sound capacity (docs/kernels.md). Dynamic high-
+            # degree streams use the XLA gather path; API users with a
+            # topology family they can bound may pass max_expanded_pairs
+            # to batch_from_positions themselves (capacity violations
+            # raise at plan build).
             max_bsp_pairs=(int(full.bsp_pair_dst.shape[0])
                            if full.bsp_pair_dst is not None else None),
             backend=getattr(cfg, "graph_builder", "auto"),

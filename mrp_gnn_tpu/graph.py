@@ -173,13 +173,21 @@ def expanded_ell_shape(deg: int, cap: int = 128) -> tuple[int, int]:
 
 
 def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
-                       tile: int, cap: int = 128) -> BspExpandedPlan:
+                       tile: int, cap: int = 128,
+                       max_pairs: int | None = None) -> BspExpandedPlan:
     """Host-side expanded tile-pair plan for a high-degree ELL layout.
 
     Pure layout derivation: the expanded neighbour-list arrays themselves
     are never stored — ops re-derive them from ell_src/ell_mask with a pad
     + reshape at trace time (cheap, fused by XLA), guaranteed to match this
     builder because both use the same row-major [V, rows*width] view.
+
+    ``max_pairs`` pins the plan length for dynamic streams (same inert-
+    padding protocol as build_bsp_pairs): a subgraph's edges touch a
+    subset of the full graph's source tiles per expanded dst tile, so the
+    full-connectivity graph's expanded plan length bounds every dynamic
+    topology sharing the capacity — shapes stay batch-invariant and one
+    jit compile serves the stream.
     """
     V, deg = ell_src.shape
     rows, width = expanded_ell_shape(deg, cap)
@@ -189,8 +197,11 @@ def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
     mask_x = np.pad(np.asarray(ell_mask), ((0, 0), (0, pad))).reshape(
         V * rows, width)
     nt_src = V // tile
-    pairs = build_bsp_pairs(src_x, mask_x, tile, num_src_tiles=nt_src)
-    pairs_t = derive_bsp_pairs_t(pairs[0], pairs[1], pairs[3], nt_src)
+    pairs = build_bsp_pairs(src_x, mask_x, tile, max_pairs=max_pairs,
+                            num_src_tiles=nt_src)
+    pairs_t = derive_bsp_pairs_t(
+        pairs[0], pairs[1], pairs[3], nt_src,
+        max_pairs=bsp_pairs_t_capacity(max_pairs, nt_src))
     return BspExpandedPlan(
         pair_dst=pairs[0], pair_src=pairs[1],
         pair_first=pairs[2], pair_last=pairs[3],
@@ -272,6 +283,7 @@ def batch_from_positions(
     max_edges: int,
     max_degree: int,
     max_bsp_pairs: int | None = None,
+    max_expanded_pairs: int | None = None,
     backend: str = "auto",
 ) -> GraphBatch:
     """Per-batch GraphBatch from per-scene robot positions (dynamic swarms).
@@ -286,7 +298,7 @@ def batch_from_positions(
         from mrp_gnn_tpu.data import graph_native
         gb = graph_native.batch_from_positions_native(
             scene_positions, radius, max_nodes, max_edges, max_degree,
-            max_bsp_pairs)
+            max_bsp_pairs, max_expanded_pairs=max_expanded_pairs)
         if gb is not None:
             return gb
         if backend == "native":
@@ -296,7 +308,8 @@ def batch_from_positions(
     return build_graph_batch(edges, [len(p) for p in scene_positions],
                              max_nodes=max_nodes, max_edges=max_edges,
                              max_degree=max_degree,
-                             max_bsp_pairs=max_bsp_pairs)
+                             max_bsp_pairs=max_bsp_pairs,
+                             max_expanded_pairs=max_expanded_pairs)
 
 
 def scene_edges_for(num_robots: int, connectivity: str = "full",
@@ -318,6 +331,7 @@ def build_graph_batch(
     max_edges: int,
     max_degree: int | None = None,
     max_bsp_pairs: int | None = None,
+    max_expanded_pairs: int | None = None,
 ) -> GraphBatch:
     """Flatten per-scene edge lists into one padded, dst-sorted GraphBatch.
 
@@ -330,6 +344,9 @@ def build_graph_batch(
         batch has identical array shapes and one jit compile serves all.
       max_bsp_pairs: likewise pin the tile-pair plan length (padded with
         inert pairs the kernels skip over).
+      max_expanded_pairs: pin the HIGH-DEGREE row-expanded plan length
+        (ELL width > 128) for dynamic streams — the full-connectivity
+        graph's expanded plan bounds every topology under the capacity.
     """
     srcs, dsts, scenes = [], [], []
     offset = 0
@@ -398,11 +415,15 @@ def build_graph_batch(
             bsp_tile = t
             if max_deg > 128:
                 # Past the kernels' 128-column unroll cap: build the row-
-                # expanded rectangular plan instead (docs/kernels.md). Only
-                # for non-capacity-pinned (static) graphs — dynamic high-
-                # degree streams would need a pinned expanded-plan length
-                # and fall back to the XLA gather path instead.
-                if max_bsp_pairs is None and max_degree is None:
+                # expanded rectangular plan instead (docs/kernels.md) —
+                # unpinned for static graphs, pinned via
+                # max_expanded_pairs for dynamic capacity streams (a
+                # dynamic stream WITHOUT the expanded cap falls back to
+                # the XLA gather path).
+                if max_expanded_pairs is not None:
+                    expanded = build_expanded_bsp(
+                        ell_src, ell_mask, t, max_pairs=max_expanded_pairs)
+                elif max_bsp_pairs is None and max_degree is None:
                     expanded = build_expanded_bsp(ell_src, ell_mask, t)
                 break
             pairs = build_bsp_pairs(ell_src, ell_mask, t,

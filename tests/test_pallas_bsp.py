@@ -440,3 +440,46 @@ def test_expanded_through_fusion_layer_pallas_backend():
                                    np.asarray(outs["xla"]),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"heads={heads}")
+
+
+def test_expanded_dynamic_optin_capacity():
+    """batch_from_positions(..., max_expanded_pairs=N): explicit opt-in
+    pinned expanded plans for dynamic high-degree streams — identical
+    shapes across topologies (one jit compile), values match the oracle
+    per topology, both builder backends bit-agree, and violations raise.
+    (The auto pipeline keeps the XLA fallback: expanded-plan length is not
+    subset-monotone — docs/kernels.md.)"""
+    from mrp_gnn_tpu.data import graph_native
+    from mrp_gnn_tpu.graph import batch_from_positions
+    rng = np.random.default_rng(0)
+    N, V = 140, 256  # deg capacity 139 > 128
+    caps = dict(max_nodes=V, max_edges=N * (N - 1), max_degree=N - 1,
+                max_expanded_pairs=64)
+    gbs = []
+    for seed in (0, 1):
+        pos = np.sort(rng.uniform(0, 30.0, size=N))
+        gb_np = batch_from_positions([pos], 12.0, backend="numpy", **caps)
+        assert B.supports_expanded(gb_np) and not B.supports(gb_np)
+        assert int(gb_np.bsp_expanded.pair_dst.shape[0]) == 64
+        if graph_native.is_available():
+            gb_nat = batch_from_positions([pos], 12.0, backend="native",
+                                          **caps)
+            for a, b in zip(jax.tree_util.tree_leaves(gb_np.bsp_expanded),
+                            jax.tree_util.tree_leaves(gb_nat.bsp_expanded)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        gbs.append(gb_np)
+    # identical pytree shapes across topologies -> one compile serves both
+    for a, b in zip(jax.tree_util.tree_leaves(gbs[0]),
+                    jax.tree_util.tree_leaves(gbs[1])):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    for gb in gbs:
+        q, k, v = _rand(gb)
+        got = B.expanded_attention(q, k, v, gb)
+        want = _ell_oracle(q, k, v, gb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+    # capacity violation raises at plan build
+    pos = np.sort(rng.uniform(0, 30.0, size=N))
+    with pytest.raises(ValueError, match="pairs exceed"):
+        batch_from_positions([pos], 12.0, backend="numpy",
+                             **{**caps, "max_expanded_pairs": 2})
