@@ -481,33 +481,50 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
     more destination tiles than source tiles): the edge-less dst tile
     fallback must still name a valid source tile.
     """
-    V = ell_src.shape[0]
+    src = np.asarray(ell_src)
+    mask = np.asarray(ell_mask)
+    V, W = src.shape
     nt = V // tile
     nts = num_src_tiles if num_src_tiles is not None else nt
-    pd, ps, fi, la = [], [], [], []
-    for t in range(nt):
-        rows = slice(t * tile, (t + 1) * tile)
-        srcs = np.asarray(ell_src[rows])[np.asarray(ell_mask[rows])]
-        tiles = (sorted(set((srcs // tile).tolist())) if srcs.size
-                 else [min(t, nts - 1)])
-        for i, s in enumerate(tiles):
-            pd.append(t)
-            ps.append(int(s))
-            fi.append(1 if i == 0 else 0)
-            la.append(1 if i == len(tiles) - 1 else 0)
+    # Vectorized (dst tile, src tile) incidence via one bincount over the
+    # dense nt x nts key space — identical output to the per-tile loop
+    # (pairs ascending by dst then src; diagonal fallback for edge-less
+    # dst tiles), but O(E) numpy instead of Python set ops per tile: the
+    # dynamic opt-in expanded path builds this per batch on the producer
+    # thread (48 ms -> ~2 ms at 32x256 swarm scale).
+    flat = np.flatnonzero(mask.ravel())
+    # row of entry e = e // W; dst tile = row // tile => one division
+    key = (flat // (W * tile)) * nts + src.ravel()[flat] // tile
+    cnt = np.bincount(key, minlength=nt * nts)
+    pd_a, ps_a = np.nonzero(cnt.reshape(nt, nts))  # row-major => dst-major
+    present = np.zeros(nt, bool)
+    present[pd_a] = True
+    missing = np.nonzero(~present)[0]
+    if missing.size:  # edge-less dst tile: diagonal fallback
+        pd_a = np.concatenate([pd_a, missing])
+        ps_a = np.concatenate([ps_a, np.minimum(missing, nts - 1)])
+        order = np.lexsort((ps_a, pd_a))
+        pd_a, ps_a = pd_a[order], ps_a[order]
+    fi_a = np.empty(pd_a.shape[0], np.int32)
+    fi_a[0] = 1
+    fi_a[1:] = (np.diff(pd_a) != 0).astype(np.int32)
+    la_a = np.empty_like(fi_a)
+    la_a[:-1] = fi_a[1:]
+    la_a[-1] = 1
     if max_pairs is not None:
-        if len(pd) > max_pairs:
-            raise ValueError(f"{len(pd)} tile pairs exceed max_bsp_pairs="
+        n = pd_a.shape[0]
+        if n > max_pairs:
+            raise ValueError(f"{n} tile pairs exceed max_bsp_pairs="
                              f"{max_pairs}")
-        pad = max_pairs - len(pd)
-        pd += [nt - 1] * pad
-        ps += [nts - 1] * pad
-        fi += [0] * pad
-        la += [0] * pad
-    return (jnp.asarray(np.array(pd, np.int32)),
-            jnp.asarray(np.array(ps, np.int32)),
-            jnp.asarray(np.array(fi, np.int32)),
-            jnp.asarray(np.array(la, np.int32)))
+        pad = max_pairs - n
+        pd_a = np.concatenate([pd_a, np.full(pad, nt - 1)])
+        ps_a = np.concatenate([ps_a, np.full(pad, nts - 1)])
+        fi_a = np.concatenate([fi_a, np.zeros(pad, np.int32)])
+        la_a = np.concatenate([la_a, np.zeros(pad, np.int32)])
+    return (jnp.asarray(pd_a.astype(np.int32)),
+            jnp.asarray(ps_a.astype(np.int32)),
+            jnp.asarray(fi_a.astype(np.int32)),
+            jnp.asarray(la_a.astype(np.int32)))
 
 
 def bsp_pairs_t_capacity(max_bsp_pairs: int | None, nt: int) -> int | None:
