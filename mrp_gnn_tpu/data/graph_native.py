@@ -183,7 +183,8 @@ def batch_from_positions_native(scene_positions, radius, max_nodes,
         if max_expanded_pairs is not None:
             expanded = build_expanded_bsp(ell_src, ell_mask.astype(bool),
                                           tile,
-                                          max_pairs=max_expanded_pairs)
+                                          max_pairs=max_expanded_pairs,
+                                          to_device=False)
         pd_t = ps_t = fi_t = la_t = None
         pd = ps = fi = la = None
     else:

@@ -211,11 +211,13 @@ class TransformIterator:
     producer ran ahead.
     """
 
-    def __init__(self, it, transform, depth: int = 2):
+    def __init__(self, it, transform, depth: int = 2,
+                 close_inner: bool = True):
         import queue
         import threading
         self._it = it
         self._tf = transform
+        self._close_inner = close_inner  # False: caller owns the inner it
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
         self._last_state = None
@@ -273,7 +275,7 @@ class TransformIterator:
 
     def close(self):
         self._stop.set()
-        if hasattr(self._it, "close"):
+        if self._close_inner and hasattr(self._it, "close"):
             self._it.close()  # cascade: unblock a producer stuck in next()
         try:
             self._q.get_nowait()  # unblock the producer if it is waiting

@@ -174,7 +174,8 @@ def expanded_ell_shape(deg: int, cap: int = 128) -> tuple[int, int]:
 
 def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
                        tile: int, cap: int = 128,
-                       max_pairs: int | None = None) -> BspExpandedPlan:
+                       max_pairs: int | None = None,
+                       to_device: bool = True) -> BspExpandedPlan:
     """Host-side expanded tile-pair plan for a high-degree ELL layout.
 
     Pure layout derivation: the expanded neighbour-list arrays themselves
@@ -183,11 +184,13 @@ def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
     builder because both use the same row-major [V, rows*width] view.
 
     ``max_pairs`` pins the plan length for dynamic streams (same inert-
-    padding protocol as build_bsp_pairs): a subgraph's edges touch a
-    subset of the full graph's source tiles per expanded dst tile, so the
-    full-connectivity graph's expanded plan length bounds every dynamic
-    topology sharing the capacity — shapes stay batch-invariant and one
-    jit compile serves the stream.
+    padding/violation protocol as build_bsp_pairs). UNLIKE the square
+    plan, the expanded plan length is NOT subset-monotone — ELL packing
+    re-ranks a subgraph's neighbour list, so a sparse row can touch source
+    tiles the full graph's same rank range never does (docs/kernels.md
+    "Degree cap") — so the full-connectivity plan length is NOT a sound
+    cap. Callers must bound their own topology family (and a violating
+    batch raises here, at plan build).
     """
     V, deg = ell_src.shape
     rows, width = expanded_ell_shape(deg, cap)
@@ -198,16 +201,17 @@ def build_expanded_bsp(ell_src: np.ndarray, ell_mask: np.ndarray,
         V * rows, width)
     nt_src = V // tile
     pairs = build_bsp_pairs(src_x, mask_x, tile, max_pairs=max_pairs,
-                            num_src_tiles=nt_src)
+                            num_src_tiles=nt_src, to_device=to_device)
     pairs_t = derive_bsp_pairs_t(
         pairs[0], pairs[1], pairs[3], nt_src,
         max_pairs=bsp_pairs_t_capacity(max_pairs, nt_src))
+    conv = jnp.asarray if to_device else np.asarray
     return BspExpandedPlan(
         pair_dst=pairs[0], pair_src=pairs[1],
         pair_first=pairs[2], pair_last=pairs[3],
-        pair_dst_t=jnp.asarray(pairs_t[0]), pair_src_t=jnp.asarray(pairs_t[1]),
-        pair_first_t=jnp.asarray(pairs_t[2]),
-        pair_last_t=jnp.asarray(pairs_t[3]),
+        pair_dst_t=conv(pairs_t[0]), pair_src_t=conv(pairs_t[1]),
+        pair_first_t=conv(pairs_t[2]),
+        pair_last_t=conv(pairs_t[3]),
         rows=rows, width=width)
 
 
@@ -463,7 +467,8 @@ def build_graph_batch(
 
 def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
                     max_pairs: int | None = None,
-                    num_src_tiles: int | None = None):
+                    num_src_tiles: int | None = None,
+                    to_device: bool = True):
     """Host-side (dst tile, src tile) pair plan for the block-sparse kernels.
 
     Returns (pair_dst, pair_src, pair_first, pair_last) int32 arrays, pairs
@@ -521,10 +526,11 @@ def build_bsp_pairs(ell_src: np.ndarray, ell_mask: np.ndarray, tile: int,
         ps_a = np.concatenate([ps_a, np.full(pad, nts - 1)])
         fi_a = np.concatenate([fi_a, np.zeros(pad, np.int32)])
         la_a = np.concatenate([la_a, np.zeros(pad, np.int32)])
-    return (jnp.asarray(pd_a.astype(np.int32)),
-            jnp.asarray(ps_a.astype(np.int32)),
-            jnp.asarray(fi_a.astype(np.int32)),
-            jnp.asarray(la_a.astype(np.int32)))
+    out = (pd_a.astype(np.int32), ps_a.astype(np.int32),
+           fi_a.astype(np.int32), la_a.astype(np.int32))
+    # to_device=False keeps numpy leaves (the native builder's policy: the
+    # host->device copy is left to jit dispatch, pipelined with compute).
+    return tuple(map(jnp.asarray, out)) if to_device else out
 
 
 def bsp_pairs_t_capacity(max_bsp_pairs: int | None, nt: int) -> int | None:

@@ -209,13 +209,16 @@ class _MicrobatchStacker:
     with it.
     """
 
-    def __init__(self, it: Iterator[dict], accum: int):
+    def __init__(self, it: Iterator[dict], accum: int,
+                 close_inner: bool = True):
         import queue
         import threading
         self._it, self._accum = it, accum
+        self._close_inner = close_inner  # False: caller owns the inner it
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
         self._last_state = None
+        self._done: BaseException | None = None
         self._has_state = hasattr(it, "get_state")
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
@@ -280,9 +283,15 @@ class _MicrobatchStacker:
         return self
 
     def __next__(self) -> dict:
+        if self._done is not None:
+            # terminal state survives close()'s queue drain: repeated calls
+            # keep raising instead of blocking on the empty queue
+            if isinstance(self._done, StopIteration):
+                raise StopIteration from self._done
+            raise self._done
         item = self._q.get()
         if isinstance(item, BaseException):
-            self._q.put(item)  # keep terminal state for repeated calls
+            self._done = item
             if isinstance(item, StopIteration):
                 raise StopIteration from item
             raise item
@@ -297,13 +306,14 @@ class _MicrobatchStacker:
 
     def close(self):
         self._stop.set()
-        if hasattr(self._it, "close"):
+        if self._close_inner and hasattr(self._it, "close"):
             self._it.close()  # cascade: unblock a producer stuck in next()
         try:
             self._q.get_nowait()  # unblock the producer if it is waiting
         except Exception:
             pass
         self._thread.join(timeout=2.0)
+        self._done = self._done or StopIteration("closed")
 
 
 def train(cfg: ExperimentConfig, num_steps: int | None = None,
@@ -339,11 +349,17 @@ def train(cfg: ExperimentConfig, num_steps: int | None = None,
         if accum == 1:
             attach = tf
             tf = (lambda b: _place(attach(b))) if attach else _place
+        # A caller-provided data_iter is caller-OWNED: our wrappers must
+        # not cascade close() into it (a generator would be terminated).
+        own_base = data_iter is None
         raw = base
         if tf is not None:
             from mrp_gnn_tpu.data.pipeline import TransformIterator
-            raw = TransformIterator(base, tf)
-        return (_MicrobatchStacker(raw, accum) if accum > 1 else raw), raw
+            raw = TransformIterator(base, tf, close_inner=own_base)
+        if accum > 1:
+            return _MicrobatchStacker(
+                raw, accum, close_inner=(raw is not base) or own_base), raw
+        return raw, raw
 
     def _close_stream(it, raw):
         for h in (it, raw):

@@ -10,7 +10,6 @@ condition, and prints per-round ratios + the spread.
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -22,8 +21,6 @@ def log(*a):
 
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from bench import make_edge_block_bench, make_stream_probe
 
     import jax
@@ -49,7 +46,6 @@ def main():
         bws.append(bw)
         log(f"round {r}: stream={bw/1e9:,.1f} GB/s  xla={min(tx,tx2)*1e3:.0f}ms"
             f"  pallas={min(tp,tp2)*1e3:.0f}ms  pallas/xla_speed={ratio:.3f}")
-    E_iters = benches["xla_block"][1]
     ratios = np.array(ratios)
     print(f"rounds={rounds} pallas/xla speed ratio "
           f"mean={ratios.mean():.3f} min={ratios.min():.3f} "

@@ -103,20 +103,20 @@ def ab(n_robots, scenes, D=2048, dk=64, iters=20):
     q, k, v32 = _rand(V, D, dk)
     oracle = _oracle(gb, dk)
 
+    # The code under test must fail LOUDLY at this scale; only the oracle
+    # (whose gather form can exceed HBM) is allowed to drop out.
+    got = jax.jit(B.expanded_attention)(q, k, v32, gb)
     try:
         want = jax.jit(oracle)(q, k, v32)
-        got = jax.jit(B.expanded_attention)(q, k, v32, gb)
+    except Exception as e:
+        # correctness is already gated at V=1024 above.
+        log(f"deg-{deg} swarm-scale oracle does not fit on chip "
+            f"({type(e).__name__}); correctness gated at reduced scale")
+    else:
         err = float(jnp.max(jnp.abs(got - want)))
         scale = float(jnp.max(jnp.abs(want)))
         assert err < 1e-3 * max(scale, 1.0), f"fwd mismatch {err} ({scale})"
         log(f"deg-{deg} swarm-scale forward check OK (err {err:.2e})")
-    except AssertionError:
-        raise
-    except Exception as e:
-        # the gather-form oracle itself can exceed HBM at swarm scale;
-        # correctness is already gated at V=1024 above.
-        log(f"deg-{deg} swarm-scale oracle does not fit on chip "
-            f"({type(e).__name__}); correctness gated at reduced scale")
 
     v = v32.astype(jnp.bfloat16)
     xla = dispatch.get_ops("xla")
@@ -150,8 +150,11 @@ def ab(n_robots, scenes, D=2048, dk=64, iters=20):
         try:
             t = chain(maker)
         except Exception as e:
-            log(f"deg-{deg} {tag}: does not fit on chip "
-                f"({type(e).__name__}: HBM OOM) at V={V} E={E}")
+            msg = str(e)
+            kind = ("HBM OOM" if "memory space hbm" in msg
+                    or "Ran out of memory" in msg else f"{msg[:120]}")
+            log(f"deg-{deg} {tag}: failed at V={V} E={E} "
+                f"({type(e).__name__}: {kind})")
             return None
         return E * iters / min(t() for _ in range(3))
 

@@ -215,3 +215,40 @@ def test_grain_loader_refuses_multiprocess(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="single-process"):
         make_train_iterator(cfg)
+
+
+def test_caller_owned_data_iter_not_closed():
+    """train(data_iter=...) must not close a caller-owned iterator on exit
+    (the finally-close cascades only into wrappers train() created)."""
+    from mrp_gnn_tpu.data.pipeline import make_train_iterator
+    cfg = _cfg(steps=2)
+
+    def gen():
+        it = make_train_iterator(cfg.data)
+        while True:
+            yield next(it)
+
+    g = gen()
+    train(cfg, num_steps=2, data_iter=g)
+    nxt = next(g)  # still alive after train() returned
+    assert "images" in nxt
+
+
+def test_stacker_next_after_close_raises():
+    """__next__ after close() must raise immediately, not block forever on
+    the drained queue (same terminal-state guard as TransformIterator)."""
+    from mrp_gnn_tpu.train import _MicrobatchStacker
+
+    class Inner:
+        def __next__(self):
+            return {"images": np.zeros((1, 2, 2, 3), np.float32),
+                    "depth": np.zeros((1, 2, 2), np.float32),
+                    "seg": np.zeros((1, 2, 2), np.int32),
+                    "graph": None}
+
+    st = _MicrobatchStacker(Inner(), accum=2)
+    next(st)
+    st.close()
+    for _ in range(2):
+        with pytest.raises(StopIteration):
+            next(st)
