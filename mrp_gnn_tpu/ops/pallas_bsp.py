@@ -68,16 +68,19 @@ def _sds(shape, dtype, vma: frozenset):
 
 
 def _col_loop(deg, body, init):
-    """Iterate the one-hot column build: static unroll for narrow ELL widths
-    (fastest — Mosaic schedules the straight-line chain), lax.fori_loop past
-    32 columns. The unrolled form allocates its temporaries on the Mosaic
-    stack, which scales with the unroll depth (~2 x Tv x Ts x 4 bytes per
-    column) and blows the 16 MB scoped-vmem limit near width 128 (seen on
-    chip at the expanded width-128 plan); the rolled loop keeps the stack
-    constant. Loop-dynamic ``j`` is fine: the body only ever COMPARES
-    against j (one-hot reduces), never indexes the lane dimension with it.
+    """Iterate the one-hot column build: static unroll up to 64 columns
+    (fastest — Mosaic schedules the straight-line chain; chip A/B at deg 40:
+    unroll 257M vs fori 213M edges/s, +21%), lax.fori_loop past that. The
+    unrolled form allocates its temporaries on the Mosaic stack, which
+    scales with the unroll depth (~2 x Tv x Ts x 4 bytes ~ 123 KB per
+    column at T=128) and blows the 16 MB scoped-vmem limit near width 128
+    (seen on chip at the expanded width-128 plan); 64 columns cap the stack
+    at ~8 MB, safe under every feature-tile/dtype combination, and the
+    rolled loop keeps it constant beyond. Loop-dynamic ``j`` is fine: the
+    body only ever COMPARES against j (one-hot reduces), never indexes the
+    lane dimension with it.
     """
-    if deg <= 32:
+    if deg <= 64:
         c = init
         for j in range(deg):
             c = body(j, c)
