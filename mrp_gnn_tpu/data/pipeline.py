@@ -199,6 +199,22 @@ class DynamicGraphBuilder:
         return batch_from_positions(pos, self.radius, **self.caps)
 
 
+
+def _bounded_put(q, stop, item) -> bool:
+    """Producer-side queue put that gives up once ``stop`` is set, so a
+    pipeline producer thread can never stay blocked on a full queue after
+    close(). Shared by every producer wrapper (TransformIterator,
+    PrefetchIterator, train._MicrobatchStacker)."""
+    import queue
+    while True:
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            if stop.is_set():
+                return False
+
+
 class TransformIterator:
     """Applies a per-batch transform on a producer thread.
 
@@ -226,19 +242,6 @@ class TransformIterator:
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
-    def _put(self, item) -> bool:
-        """Bounded put that gives up once close() set the stop flag, so the
-        producer thread can never stay blocked on a full queue after
-        shutdown."""
-        import queue
-        while True:
-            try:
-                self._q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                if self._stop.is_set():
-                    return False
-
     def _fill(self):
         while not self._stop.is_set():
             try:
@@ -246,9 +249,9 @@ class TransformIterator:
                 state = self._it.get_state() if self._has_state else None
                 item = (state, self._tf(batch))
             except BaseException as e:  # noqa: BLE001 — relayed in __next__
-                self._put(e)
+                _bounded_put(self._q, self._stop, e)
                 return
-            self._put(item)
+            _bounded_put(self._q, self._stop, item)
 
     def __iter__(self):
         return self
@@ -472,16 +475,10 @@ class PrefetchIterator:
         self._thread.start()
 
     def _fill(self):
-        import queue
         for batch in self._it.repeat():
-            while True:  # bounded put: never stays blocked after close()
-                if self._stop.is_set():
-                    return
-                try:
-                    self._q.put(batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            if self._stop.is_set() or not _bounded_put(
+                    self._q, self._stop, batch):
+                return
 
     def __iter__(self):
         return self

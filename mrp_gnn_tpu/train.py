@@ -257,27 +257,18 @@ class _MicrobatchStacker:
         state = self._it.get_state() if self._has_state else None
         return state, out
 
-    def _put(self, item) -> bool:
-        import queue
-        while True:  # bounded put: never stays blocked after close()
-            try:
-                self._q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                if self._stop.is_set():
-                    return False
-
     def _fill(self):
         # Exceptions (including StopIteration from an exhausted iterator)
         # must cross the thread boundary: enqueue them and re-raise in
         # __next__, else the consumer blocks forever on an empty queue.
+        from mrp_gnn_tpu.data.pipeline import _bounded_put
         while not self._stop.is_set():
             try:
                 item = self._build()
             except BaseException as e:  # noqa: BLE001 — relayed, not dropped
-                self._put(e)
+                _bounded_put(self._q, self._stop, e)
                 return
-            self._put(item)
+            _bounded_put(self._q, self._stop, item)
 
     def __iter__(self):
         return self
