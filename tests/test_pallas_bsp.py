@@ -397,11 +397,11 @@ def test_expanded_padding_invariance():
 
 
 def test_bsp_rolled_column_loop_matches_oracle():
-    """ELL widths past the unroll threshold (32) take the lax.fori_loop
+    """ELL widths past the unroll threshold (64) take the lax.fori_loop
     column build (_col_loop) — same math as the unrolled form, constant
-    Mosaic stack. Square-plan case at deg 40, values + grads."""
-    gb = batch_homogeneous(2, 64, radius_edges(64, 20))
-    assert gb.ell_src.shape[1] > 32  # fori path
+    Mosaic stack. Square-plan case at deg 80, values + grads."""
+    gb = batch_homogeneous(2, 96, radius_edges(96, 40))
+    assert gb.ell_src.shape[1] > 64  # fori path
     assert B.supports(gb)
     q, k, v = _rand(gb)
     got = B.bsp_attention_fused(q, k, v, gb)
