@@ -91,8 +91,9 @@ def _pallas_ops() -> EdgeOps:
             return B.bsp_attention_fused(q, k, values, graph)
         if B.supports_expanded(graph):
             # > 128 in-neighbours: row-expanded rectangular plan keeps the
-            # same kernels streaming whole tiles (docs/kernels.md).
-            return B.expanded_attention(q, k, values, graph)
+            # same kernels streaming whole tiles; the ONE-PASS form builds
+            # the selection once per pair (docs/kernels.md).
+            return B.expanded_attention_fused(q, k, values, graph)
         return xla_ell_attention(q, k, values, graph)
 
     def block_fused_attention(q, k, values, graph):

@@ -827,6 +827,216 @@ def expanded_attention(q: jax.Array, k: jax.Array, values: jax.Array,
             .astype(values.dtype))
 
 
+# --- one-pass expanded attention ---------------------------------------------
+#
+# The two-kernel expanded path pays the one-hot column build TWICE (chip
+# split at deg-255: SDDMM 8.2 ms + SpMM 6.5 ms); this variant reuses the
+# one-pass online-softmax kernel body but emits the RAW per-expanded-row
+# (acc, m, l) triple instead of dividing, and a cheap XLA combine folds the
+# R rows of each node into one softmax: out[v] = sum_r w_r acc_r / sum_r
+# w_r l_r with w_r = exp(m_r - max_r m_r). The selection/E build runs once
+# per pair instead of twice and logits never visit HBM.
+
+
+def _fused_parts_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                        q_ref, k_ref, src_ref, mask_ref, v_ref,
+                        oacc_ref, om_ref, ol_ref, acc_ref, m_ref, l_ref):
+    """_fused_kernel body with raw (acc, m, l) emission (no division)."""
+    p = pl.program_id(1)
+    Ts = k_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+
+    qk = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [Tv, Ts]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+    maskf = (mask_ref[:] > 0).astype(jnp.float32)
+
+    def col_e(j, E):
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        mj = jnp.sum(jnp.where(dcol == j, maskf, 0.0), axis=1, keepdims=True)
+        return E + mj * (col == srcj).astype(jnp.float32)
+
+    E = _col_loop(deg, col_e, jnp.zeros((Tv, Ts), jnp.float32))
+
+    first = first_ref[p] == 1
+    m_old = jnp.where(first, jnp.full((Tv, 1), _NEG, jnp.float32),
+                      m_ref[:, :1])
+    l_old = jnp.where(first, jnp.zeros((Tv, 1), jnp.float32), l_ref[:, :1])
+    acc_old = jnp.where(first, jnp.zeros_like(acc_ref), acc_ref[:])
+
+    qk_m = jnp.where(E > 0, qk, _NEG)
+    m_new = jnp.maximum(m_old, jnp.max(qk_m, axis=-1, keepdims=True))
+    mg = jnp.maximum(m_new, _NEG / 2)
+    a = jnp.exp(qk_m - mg) * E
+    scale = jnp.exp(m_old - mg)
+    l_new = l_old * scale + jnp.sum(a, axis=-1, keepdims=True)
+    prec = (jax.lax.Precision.DEFAULT
+            if jnp.dtype(v_ref.dtype).name == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+    contrib = jnp.dot(a.astype(v_ref.dtype), v_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=prec)
+    acc_new = acc_old * scale + contrib
+
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    acc_ref[:] = acc_new
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        oacc_ref[:] = acc_new
+        om_ref[:] = jnp.broadcast_to(m_new, om_ref.shape)
+        ol_ref[:] = jnp.broadcast_to(l_new, ol_ref.shape)
+
+
+def _fused_parts_forward(q, k, values, ell_src, ell_mask, pd, ps, fi, la,
+                         T, interpret):
+    """Raw online-softmax triple per (expanded) destination row:
+    acc [Vd, D] f32, m/l [Vd, 128] f32 (column 0 live)."""
+    values, D_orig = _pad_lanes(values)
+    D = values.shape[1]
+    Vd = q.shape[0]
+    dk = q.shape[1]
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    Tf = _pick_feat_tile(D, interpret, values.dtype)
+    mask_i = ell_mask.astype(jnp.int32)
+    vma = _out_vma(q, k, ell_src, ell_mask, values)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(D // Tf, num_pairs),
+        in_specs=[
+            pl.BlockSpec((T, dk), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # q (dst tile)
+            pl.BlockSpec((T, dk), lambda f, p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # k (src tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_mask tile
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (ps[p], f),
+                         memory_space=pltpu.VMEM),     # values (src tile)
+        ],
+        out_specs=[
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (pd[p], f),
+                         memory_space=pltpu.VMEM),     # acc
+            pl.BlockSpec((T, 128), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # m
+            pl.BlockSpec((T, 128), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # l
+        ],
+        scratch_shapes=[pltpu.VMEM((T, Tf), jnp.float32),
+                        pltpu.VMEM((T, 128), jnp.float32),
+                        pltpu.VMEM((T, 128), jnp.float32)],
+    )
+    acc, m, l = pl.pallas_call(
+        _fused_parts_kernel,
+        grid_spec=grid_spec,
+        out_shape=(_sds((Vd, D), jnp.float32, vma),
+                   _sds((Vd, 128), jnp.float32, vma),
+                   _sds((Vd, 128), jnp.float32, vma)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * (T * D + T * dk),
+            bytes_accessed=(num_pairs * T * D + 5 * Vd * D)
+            * values.dtype.itemsize,
+            transcendentals=num_pairs * T * T,
+        ),
+        interpret=interpret,
+    )(pd, ps, fi, la, q, k, ell_src, mask_i, values)
+    return (acc[:, :D_orig] if D_orig != D else acc), m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def _xp_fused(q, k, values, src_x, mask_x, pd, ps, fi, la, pdt, pst, fit,
+              lat, rows, T, interpret):
+    return _xp_fused_fwd(q, k, values, src_x, mask_x, pd, ps, fi, la,
+                         pdt, pst, fit, lat, rows, T, interpret)[0]
+
+
+def _xp_combine(acc, m, l, V, rows, out_dtype):
+    """Fold the R per-expanded-row online-softmax triples of each node into
+    one softmax: rows with l == 0 (no edges) carry m == _NEG and weight 0."""
+    D = acc.shape[-1]
+    accf = acc.reshape(V, rows, D)
+    mf = m[:, 0].reshape(V, rows)
+    lf = l[:, 0].reshape(V, rows)
+    mx = jnp.maximum(jnp.max(mf, axis=1, keepdims=True), _NEG / 2)
+    w = jnp.exp(mf - mx)                                   # [V, rows]
+    num = jnp.sum(w[..., None] * accf, axis=1)             # [V, D]
+    den = jnp.sum(w * lf, axis=1, keepdims=True)           # [V, 1]
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-30),
+                     0.0).astype(out_dtype)
+
+
+def _xp_fused_fwd(q, k, values, src_x, mask_x, pd, ps, fi, la,
+                  pdt, pst, fit, lat, rows, T, interpret):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    q_x = jnp.repeat(q.astype(jnp.float32) * scale, rows, axis=0)
+    acc, m, l = _fused_parts_forward(q_x, k.astype(jnp.float32), values,
+                                     src_x, mask_x, pd, ps, fi, la, T,
+                                     interpret)
+    out = _xp_combine(acc, m, l, q.shape[0], rows, values.dtype)
+    return out, (q, k, values, src_x, mask_x,
+                 pd, ps, fi, la, pdt, pst, fit, lat)
+
+
+def _xp_fused_bwd(rows, T, interpret, res, g):
+    """Backward = the two-kernel expanded composition's math (alpha
+    recompute via the raw SDDMM + folded softmax, then the four plan
+    sweeps), exactly as autodiff of expanded_attention produces."""
+    q, k, values, src_x, mask_i, pd, ps, fi, la, pdt, pst, fit, lat = res
+    V, dk = q.shape
+    W = src_x.shape[1]
+    scale = 1.0 / np.sqrt(dk)
+    q_x = jnp.repeat(q.astype(jnp.float32) * scale, rows, axis=0)
+    k32 = k.astype(jnp.float32)
+    logits_x = _sddmm_forward(q_x, k32, src_x, pd, ps, fi, la, T, interpret)
+    mask = (mask_i > 0).reshape(V, rows * W)
+    x = jnp.where(mask, logits_x.reshape(V, rows * W), _NEG)
+    mx = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), _NEG / 2)
+    e = jnp.where(mask, jnp.exp(x - mx), 0.0)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+    alpha_x = alpha.reshape(-1, W)
+
+    g32 = g.astype(jnp.float32)
+    g_x = jnp.repeat(g32, rows, axis=0)                    # [V*R, D]
+    dvalues = _spmm_t_forward(alpha_x, g_x, src_x, pdt, pst, fit, lat, T,
+                              interpret, out_dtype=values.dtype,
+                              out_rows=values.shape[0])
+    dalpha_x = _sddmm_forward(g_x, values, src_x, pd, ps, fi, la, T,
+                              interpret)
+    dalpha = dalpha_x.reshape(V, rows * W)
+    dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
+    dlog = jnp.where(mask, dlog, 0.0)
+    dlog_x = dlog.reshape(-1, W)
+    dq_x = _spmm_forward(dlog_x, k32, src_x, pd, ps, fi, la, T, interpret)
+    dq = dq_x.reshape(V, rows, dk).sum(axis=1) * scale
+    dk_ = _spmm_t_forward(dlog_x, q_x, src_x, pdt, pst, fit, lat, T,
+                          interpret, out_dtype=k.dtype, out_rows=k.shape[0])
+    return (dq.astype(q.dtype), dk_, dvalues) + (None,) * 10
+
+
+_xp_fused.defvjp(_xp_fused_fwd, _xp_fused_bwd)
+
+
+def expanded_attention_fused(q: jax.Array, k: jax.Array, values: jax.Array,
+                             graph) -> jax.Array:
+    """One-pass edge attention for >128-degree graphs: same semantics as
+    :func:`expanded_attention`, one kernel sweep instead of two (the
+    selection build runs once per pair and logits never visit HBM), with a
+    cheap XLA combine folding each node's R expanded-row online-softmax
+    triples. The dispatch path for high-degree attention."""
+    xp = graph.bsp_expanded
+    src_x, mask_x = _expand_ell(graph)
+    return _xp_fused(q, k, values, src_x, mask_x.astype(jnp.int32),
+                     *_xplan_args(xp), xp.rows, graph.bsp_tile, _interpret())
+
+
 # --- public entry ------------------------------------------------------------
 
 

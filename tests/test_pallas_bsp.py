@@ -483,3 +483,43 @@ def test_expanded_dynamic_optin_capacity():
     with pytest.raises(ValueError, match="pairs exceed"):
         batch_from_positions([pos], 12.0, backend="numpy",
                              **{**caps, "max_expanded_pairs": 2})
+
+
+@pytest.mark.parametrize("n,V", [(193, 256), (257, 384)])
+def test_expanded_fused_one_pass_matches_oracle(n, V):
+    """One-pass expanded attention (raw (acc, m, l) kernel + XLA cross-row
+    combine) matches the oracle and the two-kernel form."""
+    gb = _hd_graph(n, V)
+    q, k, v = _rand(gb)
+    got = B.expanded_attention_fused(q, k, v, gb)
+    want = _ell_oracle(q, k, v, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_expanded_fused_one_pass_gradients():
+    gb = _hd_graph(193, 256)
+    q, k, v = _rand(gb)
+    g_x = jax.grad(
+        lambda q, k, v: jnp.sum(B.expanded_attention_fused(q, k, v, gb) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_x, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_expanded_fused_padding_and_empty_rows():
+    """Nodes with zero in-edges (and padded slots) emit exactly zero
+    through the cross-row combine."""
+    gb_a = _hd_graph(193, 256)
+    gb_b = _hd_graph(193, 384)  # extra all-padding tile rows
+    q, k, v = _rand(gb_a)
+    out = B.expanded_attention_fused(q, k, v, gb_a)
+    outb = B.expanded_attention_fused(jnp.pad(q, ((0, 128), (0, 0))),
+                                      jnp.pad(k, ((0, 128), (0, 0))),
+                                      jnp.pad(v, ((0, 128), (0, 0))), gb_b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(outb)[:256],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(outb)[193:], 0.0)
