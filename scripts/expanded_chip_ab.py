@@ -67,13 +67,17 @@ def check(n_robots, scenes, D=512, dk=64):
     assert B.supports_expanded(gb) and not B.supports(gb)
     q, k, v = _rand(V, D, dk)
     oracle = _oracle(gb, dk)
+    got1 = jax.jit(B.expanded_attention_fused)(q, k, v, gb)
     got = jax.jit(B.expanded_attention)(q, k, v, gb)
     want = jax.jit(oracle)(q, k, v)
     err = float(jnp.max(jnp.abs(got - want)))
+    err1 = float(jnp.max(jnp.abs(got1 - want)))
     scale = float(jnp.max(jnp.abs(want)))
     assert err < 1e-3 * max(scale, 1.0), f"fwd mismatch {err} ({scale})"
+    assert err1 < 1e-3 * max(scale, 1.0), f"one-pass mismatch {err1}"
     g_got = jax.jit(jax.grad(
-        lambda q, k, v: jnp.sum(B.expanded_attention(q, k, v, gb) ** 2),
+        lambda q, k, v: jnp.sum(
+            B.expanded_attention_fused(q, k, v, gb) ** 2),
         argnums=(0, 1, 2)))(q, k, v)
     g_want = jax.jit(jax.grad(
         lambda q, k, v: jnp.sum(oracle(q, k, v) ** 2),
@@ -158,23 +162,30 @@ def ab(n_robots, scenes, D=2048, dk=64, iters=20):
             return None
         return E * iters / min(t() for _ in range(3))
 
-    ex = rate(lambda q, k, c: B.expanded_attention(q, k, c, gb),
-              "expanded fwd")
+    # one-pass = the dispatch path; two-kernel kept as the explicit-alpha
+    # control (and the backward's math)
+    ex1 = rate(lambda q, k, c: B.expanded_attention_fused(q, k, c, gb),
+               "expanded one-pass fwd")
+    ex2 = rate(lambda q, k, c: B.expanded_attention(q, k, c, gb),
+               "expanded two-kernel fwd")
     eg = rate(lambda q, k, c: xla.ell_attention(q, k, c, gb),
               "xla-gather fwd")
-    ext = rate(train_fn(lambda q, k, c: B.expanded_attention(q, k, c, gb)),
-               "expanded train")
+    ext = rate(train_fn(
+        lambda q, k, c: B.expanded_attention_fused(q, k, c, gb)),
+        "expanded train")
     egt = rate(train_fn(lambda q, k, c: xla.ell_attention(q, k, c, gb)),
                "xla-gather train")
 
     def fmt(x):
         return f"{x/1e6:,.1f}M" if x else "OOM"
 
-    log(f"deg-{deg} V={V}: fwd expanded {fmt(ex)} vs xla-gather {fmt(eg)}"
-        + (f" ({ex/eg:.2f}x)" if ex and eg else "")
+    log(f"deg-{deg} V={V}: fwd one-pass {fmt(ex1)} / two-kernel {fmt(ex2)}"
+        f" vs xla-gather {fmt(eg)}"
+        + (f" ({ex1/eg:.2f}x)" if ex1 and eg else "")
         + f"; train expanded {fmt(ext)} vs {fmt(egt)}"
         + (f" ({ext/egt:.2f}x)" if ext and egt else ""))
-    return {"deg": deg, "V": V, "E": E, "fwd_expanded": ex, "fwd_xla": eg,
+    return {"deg": deg, "V": V, "E": E, "fwd_one_pass": ex1,
+            "fwd_two_kernel": ex2, "fwd_xla": eg,
             "train_expanded": ext, "train_xla": egt}
 
 
