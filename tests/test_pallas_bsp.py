@@ -523,3 +523,26 @@ def test_expanded_fused_padding_and_empty_rows():
     np.testing.assert_allclose(np.asarray(out), np.asarray(outb)[:256],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(outb)[193:], 0.0)
+
+
+def test_expanded_heterogeneous_scenes():
+    """Mixed team sizes where only SOME scenes exceed the cap: the batch
+    still builds one expanded plan over the shared ELL width, and values,
+    grads, and dispatch agree with the oracle (one-pass path)."""
+    from mrp_gnn_tpu.graph import build_graph_batch, fully_connected_edges
+    sizes = [193, 50, 100]
+    gb = build_graph_batch(
+        [fully_connected_edges(n) for n in sizes], sizes,
+        max_nodes=384, max_edges=sum(n * (n - 1) for n in sizes))
+    assert gb.ell_src.shape[1] > 128 and B.supports_expanded(gb)
+    q, k, v = _rand(gb)
+    for fn in (B.expanded_attention_fused, B.expanded_attention):
+        got = fn(q, k, v, gb)
+        want = _ell_oracle(q, k, v, gb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+    g_x = jax.grad(lambda v: jnp.sum(
+        B.expanded_attention_fused(q, k, v, gb) ** 2))(v)
+    g_ref = jax.grad(lambda v: jnp.sum(_ell_oracle(q, k, v, gb) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
