@@ -341,9 +341,14 @@ def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
     Tv, deg = src_ref.shape
     base = ps_ref[p] * Ts
 
-    ab = jax.lax.dot_general(a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
+    # Mixed input dtypes are equalized HERE, per block (a VPU convert in
+    # VMEM), so a bf16 operand streams at bf16 width instead of paying a
+    # whole-array f32 copy + doubled HBM bytes outside the kernel.
+    ab = jax.lax.dot_general(a_ref[:].astype(jnp.float32),
+                             b_ref[:].astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
-                             precision=_mm_precision(a_ref.dtype))  # [Tv, Ts]
+                             precision=jax.lax.Precision.HIGHEST)  # [Tv, Ts]
     col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
     dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
     src = src_ref[:]
@@ -366,13 +371,15 @@ def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
 
 
 def _sddmm_forward(a, b, ell_src, pd, ps, fi, la, T, interpret):
-    if a.dtype != b.dtype:
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
+    # Mixed dtypes (f32 cotangent x bf16 values in the backward) are cast
+    # per block INSIDE the kernel — never equalized here, which would
+    # materialize an f32 copy of the whole values array in HBM and double
+    # its stream bytes.
     # VMEM guard: the kernel holds [T, D] blocks of BOTH operands,
     # double-buffered across grid steps. The edge dot decomposes over the
     # feature axis, so chunk wide D and sum the partial SDDMMs.
-    max_d = 4096 if a.dtype == jnp.float32 else 8192
+    max_d = 4096 if (a.dtype == jnp.float32
+                     or b.dtype == jnp.float32) else 8192
     if a.shape[1] > max_d:
         mid = (a.shape[1] // 2 + 127) // 128 * 128
         return (_sddmm_forward(a[:, :mid], b[:, :mid], ell_src, pd, ps, fi,
