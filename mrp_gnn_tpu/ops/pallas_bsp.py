@@ -698,8 +698,18 @@ def _bsp_fused_bwd(T, interpret, res, g):
         dk_ = jnp.zeros_like(k).at[src].add(dlog[..., None] * q[:, None, :])
         return (dq.astype(q.dtype), dk_.astype(k.dtype), dvalues) + nones
 
-    alpha = _weights_forward(q, k, src, mask_i, pd, ps, fi, la, T, interpret)
-    dalpha = _sddmm_forward(g, values, src, pd, ps, fi, la, T, interpret)
+    # ONE dual sweep recomputes the logits AND computes dalpha, sharing
+    # the selection build (the per-column compute bottleneck); softmax on
+    # the [V, deg] logits is cheap XLA elementwise — identical math to the
+    # weights kernel's in-kernel softmax.
+    mask_f = mask_i > 0
+    logits, dalpha = _sddmm2_forward(q, k, g, values, src, pd, ps, fi, la,
+                                     T, interpret)
+    x = jnp.where(mask_f, logits, _NEG)
+    mx = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.where(mask_f, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
     dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
                               interpret, out_dtype=values.dtype,
                               out_rows=values.shape[0])
@@ -712,6 +722,121 @@ def _bsp_fused_bwd(T, interpret, res, g):
 
 
 _bsp_fused.defvjp(_bsp_fused_fwd, _bsp_fused_bwd)
+
+
+# --- dual block-sparse SDDMM (one sweep, shared selection) -------------------
+#
+# The fused-attention backward needs TWO edge dots over the SAME plan:
+# logits[v,j] = <q[v], k[src]> (alpha recompute) and dalpha[v,j] =
+# <g[v], values[src]>. The selection build (srcj extraction + one-hot
+# compare per column) is the compute bottleneck of each sweep and is
+# identical for both — this kernel runs both dots in one pass, sharing it.
+
+
+def _sddmm2_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                   a1_ref, b1_ref, a2_ref, b2_ref, src_ref,
+                   out1_ref, out2_ref, acc1_ref, acc2_ref):
+    """out1[v,j] = <a1[v], b1[src[v,j]]>, out2[v,j] = <a2[v], b2[src[v,j]]>
+    over one dst-major pair sweep with a SHARED one-hot selection."""
+    p = pl.program_id(0)
+    Ts = b1_ref.shape[0]
+    Tv, deg = src_ref.shape
+    base = ps_ref[p] * Ts
+
+    ab1 = jax.lax.dot_general(a1_ref[:].astype(jnp.float32),
+                              b1_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    ab2 = jax.lax.dot_general(a2_ref[:].astype(jnp.float32),
+                              b2_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+
+    first = first_ref[p] == 1
+    zero = jnp.zeros((Tv, deg), jnp.float32)
+    c0 = (jnp.where(first, zero, acc1_ref[:]),
+          jnp.where(first, zero, acc2_ref[:]))
+
+    def col2(j, carry):
+        c1, c2 = carry
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        sel = (col == srcj).astype(jnp.float32)
+        oh = (dcol == j).astype(jnp.float32)
+        l1 = jnp.sum(ab1 * sel, axis=1, keepdims=True)
+        l2 = jnp.sum(ab2 * sel, axis=1, keepdims=True)
+        return (c1 + l1 * oh, c2 + l2 * oh)
+
+    acc1, acc2 = _col_loop(deg, col2, c0)
+    acc1_ref[:] = acc1
+    acc2_ref[:] = acc2
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out1_ref[:] = acc1
+        out2_ref[:] = acc2
+
+
+def _sddmm2_forward(a1, b1, a2, b2, ell_src, pd, ps, fi, la, T, interpret):
+    """(out1, out2) = two SDDMMs over one shared plan sweep. Falls back to
+    two separate sweeps when the wide operand pair would not fit the VMEM
+    block budget (same guard as _sddmm_forward's chunking threshold)."""
+    if max(a2.shape[1], b2.shape[1]) > 4096 or max(a1.shape[1],
+                                                   b1.shape[1]) > 4096:
+        return (_sddmm_forward(a1, b1, ell_src, pd, ps, fi, la, T,
+                               interpret),
+                _sddmm_forward(a2, b2, ell_src, pd, ps, fi, la, T,
+                               interpret))
+    a1, _ = _pad_lanes(a1)
+    b1, _ = _pad_lanes(b1)
+    a2, _ = _pad_lanes(a2)
+    b2, _ = _pad_lanes(b2)
+    Vd = a1.shape[0]
+    d1, d2 = a1.shape[1], a2.shape[1]
+    deg = ell_src.shape[1]
+    num_pairs = pd.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_pairs,),
+        in_specs=[
+            pl.BlockSpec((T, d1), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # a1 (dst tile)
+            pl.BlockSpec((T, d1), lambda p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # b1 (src tile)
+            pl.BlockSpec((T, d2), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # a2 (dst tile)
+            pl.BlockSpec((T, d2), lambda p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),     # b2 (src tile)
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+        ],
+        out_specs=[
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, deg), lambda p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((T, deg), jnp.float32),
+                        pltpu.VMEM((T, deg), jnp.float32)],
+    )
+    vma = _out_vma(a1, b1, a2, b2, ell_src)
+    return pl.pallas_call(
+        _sddmm2_kernel,
+        grid_spec=grid_spec,
+        out_shape=(_sds((Vd, deg), jnp.float32, vma),
+                   _sds((Vd, deg), jnp.float32, vma)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * T * (d1 + d2),
+            bytes_accessed=(num_pairs * T * (d1 * 4 + d2 * 2)
+                            + Vd * deg * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pd, ps, fi, la, a1, b1, a2, b2, ell_src)
 
 
 # --- raw block-sparse SDDMM (differentiable) ---------------------------------
@@ -1001,7 +1126,10 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     scale = 1.0 / np.sqrt(dk)
     q_x = jnp.repeat(q.astype(jnp.float32) * scale, rows, axis=0)
     k32 = k.astype(jnp.float32)
-    logits_x = _sddmm_forward(q_x, k32, src_x, pd, ps, fi, la, T, interpret)
+    g_x = jnp.repeat(g.astype(jnp.float32), rows, axis=0)  # [V*R, D]
+    # ONE dual sweep: logits recompute + dalpha, shared selection build.
+    logits_x, dalpha_x = _sddmm2_forward(q_x, k32, g_x, values, src_x,
+                                         pd, ps, fi, la, T, interpret)
     mask = (mask_i > 0).reshape(V, rows * W)
     x = jnp.where(mask, logits_x.reshape(V, rows * W), _NEG)
     mx = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), _NEG / 2)
@@ -1009,14 +1137,9 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     den = jnp.sum(e, axis=-1, keepdims=True)
     alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
     alpha_x = alpha.reshape(-1, W)
-
-    g32 = g.astype(jnp.float32)
-    g_x = jnp.repeat(g32, rows, axis=0)                    # [V*R, D]
     dvalues = _spmm_t_forward(alpha_x, g_x, src_x, pdt, pst, fit, lat, T,
                               interpret, out_dtype=values.dtype,
                               out_rows=values.shape[0])
-    dalpha_x = _sddmm_forward(g_x, values, src_x, pd, ps, fi, la, T,
-                              interpret)
     dalpha = dalpha_x.reshape(V, rows * W)
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
