@@ -219,6 +219,27 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _warn_hideg_fallback(width: int) -> None:
+    """Warn (once per process — the default warnings dedup) when a
+    capacity-pinned batch crosses the 128-degree kernel cap WITHOUT the
+    max_expanded_pairs opt-in: the aggregation silently drops from the
+    row-expanded Pallas kernels to the XLA gather league (~5-10x slower,
+    and prone to OOM at swarm scale — BASELINE.md round 4). The opt-in is
+    explicit because the expanded-plan length is not subset-monotone, so
+    no sound automatic capacity exists (docs/kernels.md 'Degree cap')."""
+    import warnings
+    warnings.warn(
+        f"graph batch in-degree width {width} exceeds the 128-column "
+        "kernel cap but carries no row-expanded plan: capacity-pinned "
+        "(dynamic) streams build one only with the max_expanded_pairs "
+        "opt-in, so edge aggregation falls back to the XLA gather path "
+        "(~5-10x slower; can OOM at swarm scale). Pass "
+        "max_expanded_pairs=<bound for your topology family> to "
+        "batch_from_positions/build_graph_batch to opt in "
+        "(docs/kernels.md 'Degree cap and the row-expansion extension').",
+        UserWarning, stacklevel=3)
+
+
 def fully_connected_edges(num_robots: int, self_loops: bool = False) -> np.ndarray:
     """Directed edge list of the fully-connected robot team graph.
 
@@ -304,6 +325,9 @@ def batch_from_positions(
             scene_positions, radius, max_nodes, max_edges, max_degree,
             max_bsp_pairs, max_expanded_pairs=max_expanded_pairs)
         if gb is not None:
+            if (gb.bsp_tile > 0 and gb.ell_src.shape[1] > 128
+                    and gb.bsp_expanded is None):
+                _warn_hideg_fallback(int(gb.ell_src.shape[1]))
             return gb
         if backend == "native":
             raise RuntimeError("native graph builder requested but the "
@@ -429,6 +453,8 @@ def build_graph_batch(
                         ell_src, ell_mask, t, max_pairs=max_expanded_pairs)
                 elif max_bsp_pairs is None and max_degree is None:
                     expanded = build_expanded_bsp(ell_src, ell_mask, t)
+                else:
+                    _warn_hideg_fallback(max_deg)
                 break
             pairs = build_bsp_pairs(ell_src, ell_mask, t,
                                     max_pairs=max_bsp_pairs)

@@ -330,6 +330,26 @@ def _mm_precision(dtype) -> jax.lax.Precision:
             else jax.lax.Precision.HIGHEST)
 
 
+def _edge_dot(a_ref, b_ref):
+    """[Tv, D] x [Ts, D] -> [Tv, Ts] f32 edge-score matmul for the SDDMM
+    kernels. Same-dtype operands ride the MXU natively (bf16 products are
+    exact into the f32 accumulator, so a pure-bf16 dot needs no upcast and
+    no f32 VMEM temporaries); MIXED dtypes are equalized per block with a
+    VPU cast in VMEM — keeping the cast inside the kernel so the bf16
+    operand still streams HBM at bf16 width instead of paying a whole-array
+    f32 copy outside."""
+    if a_ref.dtype == b_ref.dtype:
+        return jax.lax.dot_general(a_ref[:], b_ref[:],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_mm_precision(a_ref.dtype))
+    return jax.lax.dot_general(a_ref[:].astype(jnp.float32),
+                               b_ref[:].astype(jnp.float32),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
                   a_ref, b_ref, src_ref, out_ref, acc_ref):
     """out[v, j] = <a[v], b[src[v, j]]> over the dst-major pair plan.
@@ -341,14 +361,7 @@ def _sddmm_kernel(pd_ref, ps_ref, first_ref, last_ref,
     Tv, deg = src_ref.shape
     base = ps_ref[p] * Ts
 
-    # Mixed input dtypes are equalized HERE, per block (a VPU convert in
-    # VMEM), so a bf16 operand streams at bf16 width instead of paying a
-    # whole-array f32 copy + doubled HBM bytes outside the kernel.
-    ab = jax.lax.dot_general(a_ref[:].astype(jnp.float32),
-                             b_ref[:].astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # [Tv, Ts]
+    ab = _edge_dot(a_ref, b_ref)                                   # [Tv, Ts]
     col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
     dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
     src = src_ref[:]
@@ -743,16 +756,8 @@ def _sddmm2_kernel(pd_ref, ps_ref, first_ref, last_ref,
     Tv, deg = src_ref.shape
     base = ps_ref[p] * Ts
 
-    ab1 = jax.lax.dot_general(a1_ref[:].astype(jnp.float32),
-                              b1_ref[:].astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    ab2 = jax.lax.dot_general(a2_ref[:].astype(jnp.float32),
-                              b2_ref[:].astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+    ab1 = _edge_dot(a1_ref, b1_ref)
+    ab2 = _edge_dot(a2_ref, b2_ref)
     col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
     dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
     src = src_ref[:]
@@ -783,10 +788,21 @@ def _sddmm2_kernel(pd_ref, ps_ref, first_ref, last_ref,
 
 def _sddmm2_forward(a1, b1, a2, b2, ell_src, pd, ps, fi, la, T, interpret):
     """(out1, out2) = two SDDMMs over one shared plan sweep. Falls back to
-    two separate sweeps when the wide operand pair would not fit the VMEM
-    block budget (same guard as _sddmm_forward's chunking threshold)."""
-    if max(a2.shape[1], b2.shape[1]) > 4096 or max(a1.shape[1],
-                                                   b1.shape[1]) > 4096:
+    two separate sweeps when the COMBINED operand blocks would not fit the
+    VMEM block budget: the kernel holds both pairs' [T, d] blocks (plus
+    f32 upcast copies for mixed-dtype pairs) simultaneously, so the budget
+    is on d1 + d2 — gated per-row-byte against the single-sweep precedent
+    (two [T, 4096] f32 blocks = 32 KB/row, the proven _sddmm_forward
+    chunking threshold)."""
+
+    def _pair_row_bytes(a, b):
+        # in-kernel element width: native when dtypes match (bf16 dots run
+        # without upcast, _edge_dot), f32 copies otherwise
+        es = a.dtype.itemsize if a.dtype == b.dtype else 4
+        dp = (max(a.shape[1], b.shape[1]) + 127) // 128 * 128  # lane pad
+        return 2 * dp * es                                     # two blocks
+
+    if _pair_row_bytes(a1, b1) + _pair_row_bytes(a2, b2) > 32768:
         return (_sddmm_forward(a1, b1, ell_src, pd, ps, fi, la, T,
                                interpret),
                 _sddmm_forward(a2, b2, ell_src, pd, ps, fi, la, T,
@@ -883,15 +899,20 @@ _bsp_sddmm.defvjp(_bsp_sddmm_fwd, _bsp_sddmm_bwd)
 # "Degree cap and the designed extension".
 
 
-def _expand_ell(graph):
-    """Trace-time [V*R, W] view of ell_src/ell_mask matching the host-side
-    layout build_expanded_bsp derived the plan from (row-major reshape)."""
-    xp = graph.bsp_expanded
-    V, deg = graph.ell_src.shape
-    pad = xp.rows * xp.width - deg
-    src_x = jnp.pad(graph.ell_src, ((0, 0), (0, pad))).reshape(-1, xp.width)
-    mask_x = jnp.pad(graph.ell_mask, ((0, 0), (0, pad))).reshape(-1, xp.width)
+def expand_ell_view(ell_src, ell_mask, rows: int, width: int):
+    """Trace-time [V*R, W] view of an ELL layout matching the host-side
+    layout build_expanded_bsp derived its plan from (row-major reshape of
+    the [V, R*W]-padded neighbour list; pad columns are mask-False)."""
+    deg = ell_src.shape[1]
+    pad = rows * width - deg
+    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
+    mask_x = jnp.pad(ell_mask, ((0, 0), (0, pad))).reshape(-1, width)
     return src_x, mask_x
+
+
+def _expand_ell(graph):
+    xp = graph.bsp_expanded
+    return expand_ell_view(graph.ell_src, graph.ell_mask, xp.rows, xp.width)
 
 
 def _xplan_args(xp):
@@ -905,6 +926,43 @@ def supports_expanded(graph) -> bool:
             and graph.bsp_expanded is not None)
 
 
+def xp_weighted_aggregate(weights: jax.Array, values: jax.Array,
+                          ell_src: jax.Array, xplan: tuple,
+                          rows: int, width: int, tile: int) -> jax.Array:
+    """Explicit-plan-args form of :func:`expanded_weighted_aggregate` —
+    the partitioned path (parallel/fused.py) calls this with per-SHARD
+    expanded plan arrays carried on EdgePartitionPlan (where no GraphBatch
+    exists inside the shard_map body). weights [V, deg], 0 on masked
+    slots; differentiable through the kernel custom_vjps."""
+    V, deg = ell_src.shape
+    pad = rows * width - deg
+    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
+    w_x = jnp.pad(weights.astype(jnp.float32),
+                  ((0, 0), (0, pad))).reshape(-1, width)
+    out_x = _bsp_spmm(w_x, values, src_x, *xplan, tile,
+                      _interpret())                            # [V*R, D]
+    return (out_x.reshape(V, rows, -1).astype(jnp.float32).sum(axis=1)
+            .astype(values.dtype))
+
+
+def xp_sddmm(a: jax.Array, b: jax.Array, ell_src: jax.Array,
+             xplan: tuple, rows: int, width: int, tile: int) -> jax.Array:
+    """Explicit-plan-args raw expanded SDDMM: out[v, j] = <a[v],
+    b[ell_src[v, j]]> for j < deg, computed over the rectangular row-
+    expanded plan and re-folded to [V, deg]. Feeds the partitioned path's
+    split softmax (which needs raw logits, not a normalized alpha).
+    Padding columns (rank >= deg) are dropped by the slice; masked slots
+    within deg carry whatever the kernel computed for slot src 0 and must
+    be masked by the caller exactly like ell_sddmm's output."""
+    V, deg = ell_src.shape
+    pad = rows * width - deg
+    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
+    a_x = jnp.repeat(a.astype(jnp.float32), rows, axis=0)
+    logits_x = _bsp_sddmm(a_x, b.astype(jnp.float32), src_x, *xplan, tile,
+                          _interpret())                        # [V*R, W]
+    return logits_x.reshape(V, rows * width)[:, :deg]
+
+
 def expanded_weighted_aggregate(weights: jax.Array, values: jax.Array,
                                 graph) -> jax.Array:
     """out[v] = sum_j weights[v, j] * values[ell_src[v, j]] for ELL widths
@@ -912,15 +970,9 @@ def expanded_weighted_aggregate(weights: jax.Array, values: jax.Array,
     reshape-sum of the R per-row partials. weights [V, deg] must already be
     0 on masked slots."""
     xp = graph.bsp_expanded
-    V, deg = graph.ell_src.shape
-    src_x, _ = _expand_ell(graph)
-    pad = xp.rows * xp.width - deg
-    w_x = jnp.pad(weights.astype(jnp.float32),
-                  ((0, 0), (0, pad))).reshape(-1, xp.width)
-    out_x = _bsp_spmm(w_x, values, src_x, *_xplan_args(xp),
-                      graph.bsp_tile, _interpret())            # [V*R, D]
-    return (out_x.reshape(V, xp.rows, -1).astype(jnp.float32).sum(axis=1)
-            .astype(values.dtype))
+    return xp_weighted_aggregate(weights, values, graph.ell_src,
+                                 _xplan_args(xp), xp.rows, xp.width,
+                                 graph.bsp_tile)
 
 
 def expanded_mean(values: jax.Array, graph) -> jax.Array:
@@ -1126,8 +1178,16 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     scale = 1.0 / np.sqrt(dk)
     q_x = jnp.repeat(q.astype(jnp.float32) * scale, rows, axis=0)
     k32 = k.astype(jnp.float32)
-    g_x = jnp.repeat(g.astype(jnp.float32), rows, axis=0)  # [V*R, D]
+    # The cotangent streams in its NATIVE dtype (bf16 in training — the
+    # forward's output dtype is values.dtype), exactly like the square
+    # path's backward: an f32 upcast here would double the bytes of the two
+    # dominant backward streams (the dual sweep's second dst operand and
+    # the transposed SpMM's per-pair dst blocks). Products are exact into
+    # the kernels' f32 accumulators either way.
+    g_x = jnp.repeat(g, rows, axis=0)                      # [V*R, D]
     # ONE dual sweep: logits recompute + dalpha, shared selection build.
+    # (q/k stay f32 so the logits recompute matches the forward's
+    # online-softmax precision bit-for-bit on the alpha it rebuilds.)
     logits_x, dalpha_x = _sddmm2_forward(q_x, k32, g_x, values, src_x,
                                          pd, ps, fi, la, T, interpret)
     mask = (mask_i > 0).reshape(V, rows * W)
@@ -1144,8 +1204,8 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
     dlog_x = dlog.reshape(-1, W)
-    dq_x = _spmm_forward(dlog_x, k32, src_x, pd, ps, fi, la, T, interpret)
-    dq = dq_x.reshape(V, rows, dk).sum(axis=1) * scale
+    dq_x = _spmm_forward(dlog_x, k, src_x, pd, ps, fi, la, T, interpret)
+    dq = dq_x.reshape(V, rows, dk).astype(jnp.float32).sum(axis=1) * scale
     dk_ = _spmm_t_forward(dlog_x, q_x, src_x, pdt, pst, fit, lat, T,
                           interpret, out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + (None,) * 10

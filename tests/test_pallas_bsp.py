@@ -485,6 +485,35 @@ def test_expanded_dynamic_optin_capacity():
                              **{**caps, "max_expanded_pairs": 2})
 
 
+def test_hideg_fallback_warns_without_optin():
+    """A capacity-pinned stream crossing the 128-degree cap WITHOUT
+    max_expanded_pairs warns about the gather-league throughput cliff;
+    setting the capacity (or staying static/unpinned) stays silent."""
+    import warnings as _w
+    from mrp_gnn_tpu.data import graph_native
+    from mrp_gnn_tpu.graph import batch_from_positions
+    rng = np.random.default_rng(0)
+    N, V = 140, 256
+    caps = dict(max_nodes=V, max_edges=N * (N - 1), max_degree=N - 1)
+    pos = np.sort(rng.uniform(0, 30.0, size=N))
+    backends = ["numpy"] + (["native"] if graph_native.is_available() else [])
+    for backend in backends:
+        with pytest.warns(UserWarning, match="max_expanded_pairs"):
+            gb = batch_from_positions([pos], 12.0, backend=backend, **caps)
+        assert gb.bsp_expanded is None
+        # the opt-in silences it (pytest -W error::UserWarning clean)
+        with _w.catch_warnings():
+            _w.simplefilter("error", UserWarning)
+            gb = batch_from_positions([pos], 12.0, backend=backend,
+                                      max_expanded_pairs=64, **caps)
+        assert gb.bsp_expanded is not None
+    # static unpinned batches auto-build the plan: no warning either
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        gb = _hd_graph(193, 256)
+    assert gb.bsp_expanded is not None
+
+
 @pytest.mark.parametrize("n,V", [(193, 256), (257, 384)])
 def test_expanded_fused_one_pass_matches_oracle(n, V):
     """One-pass expanded attention (raw (acc, m, l) kernel + XLA cross-row
