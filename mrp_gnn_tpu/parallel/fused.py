@@ -85,6 +85,11 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 raise ValueError("per-batch plan structure differs from the "
                                  "capacity plan — build it with the same "
                                  "PlanCapacities")
+            if (live.xp_rows, live.xp_width) != (plan.xp_rows,
+                                                 plan.xp_width):
+                raise ValueError("per-batch expanded-plan structure differs "
+                                 "from the capacity plan — build it with "
+                                 "the same PlanCapacities (xp_pairs)")
         else:
             live = plan  # topology is static; the plan is compiled in
 
@@ -153,7 +158,16 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
             # the unpartitioned segment softmax.
             if aggregation == "attention":
                 inv_sqrt = 1.0 / np.sqrt(q_loc.shape[-1])
-                lg_l = R.ell_sddmm(q_loc, k_loc, ell_s, ell_m) * inv_sqrt
+                if mode == "xp":
+                    # >128-degree local logits over the per-shard row-
+                    # expanded plan: streams k as whole tiles instead of
+                    # the [nps, L, dk] gather (docs/kernels.md degree cap)
+                    from mrp_gnn_tpu.ops.pallas_bsp import xp_sddmm
+                    lg_l = xp_sddmm(q_loc, k_loc, ell_s, bsp, plan.xp_rows,
+                                    plan.xp_width,
+                                    plan.bsp_tile) * inv_sqrt
+                else:
+                    lg_l = R.ell_sddmm(q_loc, k_loc, ell_s, ell_m) * inv_sqrt
                 lg_l = jnp.where(ell_m, lg_l, _NEG)             # [nps, L]
                 if exchange == "boundary":
                     k_remote = halo(k_loc, sidx)
@@ -184,7 +198,7 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
 
             def agg_local_fn(v):
                 w = alpha_l.astype(jnp.float32)
-                if bsp:
+                if mode == "square":
                     # Pallas backend: the shard-local aggregate (the bulk of
                     # the bytes) rides the tile-block-sparse SpMM kernel —
                     # whole-tile sequential DMAs + one-hot MXU selection
@@ -194,6 +208,16 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                     # softmax/mean weights are exactly 0 on masked slots
                     return _bsp_spmm(w * ell_m, v, ell_s, *bsp,
                                      plan.bsp_tile, _interpret())
+                if mode == "xp":
+                    # >128-degree: expanded SpMM over the per-shard
+                    # rectangular plan + reshape-sum of the row partials —
+                    # composes the two round-4 wins (expanded kernels x
+                    # edge partitioning); the gather league OOMs here.
+                    from mrp_gnn_tpu.ops.pallas_bsp import (
+                        xp_weighted_aggregate)
+                    return xp_weighted_aggregate(w * ell_m, v, ell_s, bsp,
+                                                 plan.xp_rows, plan.xp_width,
+                                                 plan.bsp_tile)
                 return R.ell_aggregate(w, v, ell_s, ell_m, "sum")
 
             def agg_remote_fn(v_remote, v_all):
@@ -225,22 +249,34 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 agg_remote = agg_remote_fn(None, v_all)
             return agg_local + agg_remote
 
-        # Pallas backend + a tile plan: ship the per-shard BSP pair arrays so
-        # the local aggregate runs on the block-sparse kernel. Compiled
-        # backends only: pallas interpret mode cannot mix shard-varying
-        # scalar-prefetch (the per-shard pair plan) with grid indices under
-        # check_vma, so the CPU simulation falls back to the ELL gather path
-        # (same math, XLA ops).
+        # Pallas backend + a tile plan: ship the per-shard pair arrays so
+        # the local aggregate runs on the block-sparse kernels — the SQUARE
+        # plan up to the 128-column cap (see B.supports), the per-shard
+        # ROW-EXPANDED rectangular plan past it (round 5: high degree
+        # composes with partitioning instead of dropping to the gather
+        # league). Compiled backends only: pallas interpret mode cannot mix
+        # shard-varying scalar-prefetch (the per-shard pair plan) with grid
+        # indices under check_vma, so the CPU simulation falls back to the
+        # ELL gather path (same math, XLA ops).
         from mrp_gnn_tpu.ops.pallas_bsp import _interpret
-        use_bsp = (getattr(ops, "impl", "xla") == "pallas"
-                   and plan.bsp_tile > 0 and live.bsp_pair_dst is not None
-                   and int(plan.ell_mask.shape[-1]) <= 128  # see B.supports
-                   and not _interpret())
-        bsp_args = ((live.bsp_pair_dst, live.bsp_pair_src,
-                     live.bsp_pair_first, live.bsp_pair_last,
-                     live.bsp_pair_dst_t, live.bsp_pair_src_t,
-                     live.bsp_pair_first_t, live.bsp_pair_last_t)
-                    if use_bsp else ())
+        is_pallas = (getattr(ops, "impl", "xla") == "pallas"
+                     and plan.bsp_tile > 0 and not _interpret())
+        if (is_pallas and live.bsp_pair_dst is not None
+                and int(plan.ell_mask.shape[-1]) <= 128):
+            mode = "square"
+            bsp_args = (live.bsp_pair_dst, live.bsp_pair_src,
+                        live.bsp_pair_first, live.bsp_pair_last,
+                        live.bsp_pair_dst_t, live.bsp_pair_src_t,
+                        live.bsp_pair_first_t, live.bsp_pair_last_t)
+        elif is_pallas and live.xp_pair_dst is not None:
+            mode = "xp"
+            bsp_args = (live.xp_pair_dst, live.xp_pair_src,
+                        live.xp_pair_first, live.xp_pair_last,
+                        live.xp_pair_dst_t, live.xp_pair_src_t,
+                        live.xp_pair_first_t, live.xp_pair_last_t)
+        else:
+            mode = "ell"
+            bsp_args = ()
         # Static plans are [P, ...] (replicated over "data"); dynamic
         # per-batch plans are stacked per replica, [R*P, ...], so each
         # (replica, shard) device gets its own block.

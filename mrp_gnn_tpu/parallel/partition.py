@@ -45,9 +45,12 @@ from mrp_gnn_tpu.graph import GraphBatch
                       "ell_mask",
                       "bsp_pair_dst", "bsp_pair_src", "bsp_pair_first",
                       "bsp_pair_last", "bsp_pair_dst_t", "bsp_pair_src_t",
-                      "bsp_pair_first_t", "bsp_pair_last_t"],
+                      "bsp_pair_first_t", "bsp_pair_last_t",
+                      "xp_pair_dst", "xp_pair_src", "xp_pair_first",
+                      "xp_pair_last", "xp_pair_dst_t", "xp_pair_src_t",
+                      "xp_pair_first_t", "xp_pair_last_t"],
          meta_fields=["num_shards", "nodes_per_shard", "deltas", "delta_rows",
-                      "bsp_tile"])
+                      "bsp_tile", "xp_rows", "xp_width"])
 @dataclasses.dataclass(frozen=True)
 class EdgePartitionPlan:
     """Per-shard padded edge lists, stacked on a leading shard axis.
@@ -123,11 +126,32 @@ class EdgePartitionPlan:
     bsp_pair_src_t: jax.Array | None
     bsp_pair_first_t: jax.Array | None
     bsp_pair_last_t: jax.Array | None
+    # Per-shard ROW-EXPANDED rectangular tile-pair plans (round 5) for
+    # local ELL widths past the kernels' 128-column cap: destination-owner
+    # partitioning keeps a node's FULL in-degree inside its shard, so a
+    # deg>128 swarm composes high degree WITH partitioning — the local
+    # aggregate then rides the expanded kernels (pallas_bsp.xp_sddmm /
+    # xp_weighted_aggregate over the [nps*xp_rows, xp_width] view of
+    # ell_src) instead of dropping to the XLA gather league. Stacked
+    # [P, n_xp] with inert tail pairs; None when the width is <= 128 (the
+    # square plan applies) or for capacity streams without the
+    # PlanCapacities.xp_pairs opt-in (expanded-plan length is not
+    # subset-monotone — docs/kernels.md "Degree cap").
+    xp_pair_dst: jax.Array | None
+    xp_pair_src: jax.Array | None
+    xp_pair_first: jax.Array | None
+    xp_pair_last: jax.Array | None
+    xp_pair_dst_t: jax.Array | None
+    xp_pair_src_t: jax.Array | None
+    xp_pair_first_t: jax.Array | None
+    xp_pair_last_t: jax.Array | None
     num_shards: int
     nodes_per_shard: int
     deltas: tuple
     delta_rows: tuple
     bsp_tile: int
+    xp_rows: int
+    xp_width: int
 
     @property
     def edges_per_shard(self) -> int:
@@ -164,9 +188,22 @@ class PlanCapacities:
     remote_ell_width: int = 0
     # The transposed plan's width is always bsp_pairs + nt (see
     # graph.bsp_pairs_t_capacity) — no separate capacity needed.
+    # EXPLICIT opt-in pinned length for per-shard row-expanded plans when
+    # ell_width > 128 (dynamic high-degree partitioned streams). 0 = no
+    # expanded plans: the local aggregate falls back to the XLA gather
+    # path (with a runtime warning). NOT derived by capacities_of — the
+    # expanded-plan length is not subset-monotone (docs/kernels.md), so
+    # only the caller can bound their topology family; a violating batch
+    # raises at plan build.
+    xp_pairs: int = 0
 
 
 def capacities_of(plan: EdgePartitionPlan) -> PlanCapacities:
+    """Capacities pinned by a superset plan. Deliberately does NOT set
+    xp_pairs from the plan's expanded arrays: a superset topology's
+    expanded-plan length does not bound subgraphs (non-subset-monotone
+    ELL packing) — callers opt in via dataclasses.replace(caps,
+    xp_pairs=N) with their own family bound."""
     return PlanCapacities(
         edges_per_shard=plan.edges_per_shard,
         ell_width=int(plan.ell_mask.shape[-1]),
@@ -220,6 +257,57 @@ def _remote_ell_arrays(arrs: dict, nps: int,
     arrs["remote_ell_mask"] = mask_ell
 
 
+_XP_KEYS = ("xp_pair_dst", "xp_pair_src", "xp_pair_first", "xp_pair_last",
+            "xp_pair_dst_t", "xp_pair_src_t", "xp_pair_first_t",
+            "xp_pair_last_t")
+
+
+def _expanded_plan_arrays(arrs: dict,
+                          capacities: PlanCapacities | None) -> None:
+    """Derive per-shard row-expanded rectangular tile-pair plans when the
+    local ELL width exceeds the kernels' 128-column cap (shared numpy
+    post-processing for BOTH the numpy and native plan builders, like
+    _remote_ell_arrays — bit-parity by construction).
+
+    Static plans (capacities None) always build them; capacity-pinned
+    dynamic streams need the PlanCapacities.xp_pairs opt-in (the expanded
+    plan length is not subset-monotone, docs/kernels.md) and fall back to
+    the ELL gather path with a runtime warning otherwise."""
+    arrs.update({k: None for k in _XP_KEYS})
+    arrs["xp_rows"] = 0
+    arrs["xp_width"] = 0
+    tile = arrs["bsp_tile"]
+    L = int(arrs["ell_mask"].shape[-1])
+    if not tile or L <= 128:
+        return
+    if capacities is not None and not capacities.xp_pairs:
+        from mrp_gnn_tpu.graph import _warn_hideg_fallback
+        _warn_hideg_fallback(L)
+        return
+    from mrp_gnn_tpu.graph import build_expanded_bsp
+    ell_src = np.asarray(arrs["ell_src"])
+    ell_mask = np.asarray(arrs["ell_mask"])
+    P = ell_src.shape[0]
+
+    def build(max_pairs):
+        return [build_expanded_bsp(ell_src[p], ell_mask[p], tile,
+                                   max_pairs=max_pairs, to_device=False)
+                for p in range(P)]
+
+    if capacities is not None:
+        per = build(int(capacities.xp_pairs))  # violations raise inside
+    else:
+        probe = build(None)
+        pmax = max(int(np.asarray(x.pair_dst).shape[0]) for x in probe)
+        per = build(pmax)  # re-pin so every shard stacks to one length
+    for k, field in zip(_XP_KEYS, ("pair_dst", "pair_src", "pair_first",
+                                   "pair_last", "pair_dst_t", "pair_src_t",
+                                   "pair_first_t", "pair_last_t")):
+        arrs[k] = np.stack([np.asarray(getattr(x, field)) for x in per])
+    arrs["xp_rows"] = per[0].rows
+    arrs["xp_width"] = per[0].width
+
+
 def partition_graph(graph: GraphBatch, num_shards: int,
                     pad_multiple: int = 8,
                     capacities: PlanCapacities | None = None
@@ -248,7 +336,8 @@ def partition_graph(graph: GraphBatch, num_shards: int,
 def _wrap_plan(arrs: dict, num_shards: int, nps: int,
                to_jnp: bool = True) -> EdgePartitionPlan:
     import jax.numpy as jnp
-    meta = {k: arrs.pop(k) for k in ("deltas", "delta_rows", "bsp_tile")}
+    meta = {k: arrs.pop(k) for k in ("deltas", "delta_rows", "bsp_tile",
+                                     "xp_rows", "xp_width")}
     conv = (lambda v: jnp.asarray(v)) if to_jnp else (lambda v: v)
     return EdgePartitionPlan(
         **{k: (conv(v) if v is not None else None) for k, v in arrs.items()},
@@ -452,6 +541,7 @@ def _plan_arrays(src: np.ndarray, dst: np.ndarray, nps: int, num_shards: int,
         **bsp,
     )
     _remote_ell_arrays(out, nps, capacities, pad_multiple)
+    _expanded_plan_arrays(out, capacities)
     return out
 
 
@@ -504,10 +594,11 @@ def partition_batch(graph: GraphBatch, num_replicas: int, num_shards: int,
                                 capacities)
         else:
             _remote_ell_arrays(arrs, nps, capacities, pad_multiple)
+            _expanded_plan_arrays(arrs, capacities)
         per.append(arrs)
     stacked = {}
     for k, v0 in per[0].items():
-        if k in ("deltas", "delta_rows", "bsp_tile"):
+        if k in ("deltas", "delta_rows", "bsp_tile", "xp_rows", "xp_width"):
             stacked[k] = v0  # uniform under shared capacities
         elif v0 is None:
             stacked[k] = None

@@ -239,6 +239,110 @@ def test_partitioned_max_matches_unpartitioned():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
+def test_partition_plan_carries_expanded_plans_past_cap():
+    """Round 5: a deg>128 STATIC partition plan carries per-shard row-
+    expanded rectangular tile-pair plans (EdgePartitionPlan.xp_*), each
+    bit-matching graph.build_expanded_bsp of that shard's local ELL arrays
+    pinned to the common stacked length — so the partitioned local
+    aggregate can ride the expanded kernels instead of the gather league."""
+    from mrp_gnn_tpu.graph import build_expanded_bsp, fully_connected_edges
+    gb = batch_homogeneous(2, 193, fully_connected_edges(193),
+                           max_nodes=512)
+    # 2 shards of 256 nodes: scene 0 sits inside shard 0, so local
+    # in-degree reaches 192 (> 128 needs nodes_per_shard > 128)
+    plan = partition_graph(gb, 2)
+    L = int(plan.ell_mask.shape[-1])
+    assert L > 128
+    assert plan.xp_pair_dst is not None and plan.xp_rows >= 2
+    assert plan.xp_width <= 128
+    P, n_xp = plan.xp_pair_dst.shape
+    assert P == 2
+    for p in range(P):
+        ref = build_expanded_bsp(np.asarray(plan.ell_src[p]),
+                                 np.asarray(plan.ell_mask[p]),
+                                 plan.bsp_tile, max_pairs=n_xp,
+                                 to_device=False)
+        assert ref.rows == plan.xp_rows and ref.width == plan.xp_width
+        for got, want in (
+                (plan.xp_pair_dst[p], ref.pair_dst),
+                (plan.xp_pair_src[p], ref.pair_src),
+                (plan.xp_pair_first[p], ref.pair_first),
+                (plan.xp_pair_last[p], ref.pair_last),
+                (plan.xp_pair_dst_t[p], ref.pair_dst_t),
+                (plan.xp_pair_src_t[p], ref.pair_src_t),
+                (plan.xp_pair_first_t[p], ref.pair_first_t),
+                (plan.xp_pair_last_t[p], ref.pair_last_t)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_partition_capacity_expanded_optin_and_warning():
+    """Capacity-pinned (dynamic) high-degree plans build expanded arrays
+    only under the PlanCapacities.xp_pairs opt-in; without it they warn
+    about the gather fallback once."""
+    import dataclasses as dc
+    import warnings as _w
+    from mrp_gnn_tpu.parallel.partition import capacities_of
+    from mrp_gnn_tpu.graph import fully_connected_edges
+    gb = batch_homogeneous(2, 193, fully_connected_edges(193),
+                           max_nodes=512)
+    base = partition_graph(gb, 2)
+    caps = capacities_of(base)
+    with pytest.warns(UserWarning, match="max_expanded_pairs"):
+        plan = partition_graph(gb, 2, capacities=caps)
+    assert plan.xp_pair_dst is None and plan.xp_rows == 0
+    n_xp = int(base.xp_pair_dst.shape[-1])
+    caps_xp = dc.replace(caps, xp_pairs=n_xp)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        plan = partition_graph(gb, 2, capacities=caps_xp)
+    assert plan.xp_pair_dst is not None
+    assert int(plan.xp_pair_dst.shape[-1]) == n_xp
+    np.testing.assert_array_equal(np.asarray(plan.xp_pair_dst),
+                                  np.asarray(base.xp_pair_dst))
+    # violation raises at plan build (standard capacity contract)
+    with pytest.raises(ValueError, match="pairs exceed"):
+        partition_graph(gb, 2, capacities=dc.replace(caps, xp_pairs=2))
+
+
+def test_per_shard_expanded_kernels_match_local_oracle():
+    """The stacked per-shard expanded plans drive the kernels correctly:
+    for every shard, xp_sddmm / xp_weighted_aggregate (interpret mode,
+    outside shard_map) equal the ELL oracle on that shard's LOCAL edges —
+    the exact composition parallel/fused.py runs compiled on TPU."""
+    from mrp_gnn_tpu.graph import fully_connected_edges
+    from mrp_gnn_tpu.ops import pallas_bsp as B
+    from mrp_gnn_tpu.ops import reference as R
+    gb = batch_homogeneous(2, 193, fully_connected_edges(193),
+                           max_nodes=512)
+    plan = partition_graph(gb, 2)
+    assert plan.xp_pair_dst is not None
+    nps = plan.nodes_per_shard
+    rng = np.random.default_rng(0)
+    for p in range(plan.num_shards):
+        ell_s = jnp.asarray(plan.ell_src[p])
+        ell_m = jnp.asarray(plan.ell_mask[p])
+        xplan = tuple(jnp.asarray(a[p]) for a in (
+            plan.xp_pair_dst, plan.xp_pair_src, plan.xp_pair_first,
+            plan.xp_pair_last, plan.xp_pair_dst_t, plan.xp_pair_src_t,
+            plan.xp_pair_first_t, plan.xp_pair_last_t))
+        q = jnp.asarray(rng.normal(size=(nps, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(nps, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(nps, 16)).astype(np.float32))
+        lg = B.xp_sddmm(q, k, ell_s, xplan, plan.xp_rows, plan.xp_width,
+                        plan.bsp_tile)
+        lg_ref = R.ell_sddmm(q, k, ell_s, ell_m)
+        np.testing.assert_allclose(np.asarray(jnp.where(ell_m, lg, 0.0)),
+                                   np.asarray(jnp.where(ell_m, lg_ref, 0.0)),
+                                   rtol=1e-5, atol=1e-5)
+        w = jnp.where(ell_m, jnp.asarray(
+            rng.uniform(size=ell_m.shape).astype(np.float32)), 0.0)
+        agg = B.xp_weighted_aggregate(w, v, ell_s, xplan, plan.xp_rows,
+                                      plan.xp_width, plan.bsp_tile)
+        agg_ref = R.ell_aggregate(w, v, ell_s, ell_m, "sum")
+        np.testing.assert_allclose(np.asarray(agg), np.asarray(agg_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_partitioned_high_degree_matches_unpartitioned():
     """> 128 in-neighbours: the partitioned local path falls back to the
     XLA ELL gather (the BSP-in-shard_map cap — parallel/fused.py) and must
