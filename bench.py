@@ -38,10 +38,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _make_graph(V, E, kind):
+def _make_graph(V, E, kind, robots=8):
     import dataclasses
     from mrp_gnn_tpu.graph import batch_fully_connected
-    scenes, robots = V // 8, 8  # 8-robot swarm scenes
+    scenes = V // robots  # fully-connected `robots`-sized swarm scenes
     gb = batch_fully_connected(scenes, robots, max_nodes=V, max_edges=E)
     if kind in ("ell", "scatter"):  # strip the dense block fast path
         gb = dataclasses.replace(gb, scene_adj=None, scene_stride=0)
@@ -118,14 +118,17 @@ def make_edge_block_bench(ops_impl, V, E, D, dk, iters, kind="block",
 
 
 def make_partitioned_local_bench(ops_impl, V, E, D, dk, iters, bf16=True,
-                                 check=False, train=False):
+                                 check=False, train=False, robots=8):
     """Partitioned (config 5) edge block's local path on a 1-device graph
     mesh: all edges local, halo no-ops — what each shard sustains between
     exchanges. The pallas backend routes the local aggregate through the
     tile-block-sparse SpMM kernel INSIDE shard_map (CPU interpret mode
     cannot run that combination, so check=True is this combination's only
     automated correctness gate — values AND grads vs the unpartitioned
-    oracle on the real chip)."""
+    oracle on the real chip). robots > 129 makes the local ELL width
+    exceed the 128-column kernel cap, exercising the per-shard ROW-EXPANDED
+    plan inside shard_map (round 5 — the xla variant's gather fallback
+    OOMs at swarm scale there, which the caller records)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -134,7 +137,7 @@ def make_partitioned_local_bench(ops_impl, V, E, D, dk, iters, bf16=True,
     from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
     from mrp_gnn_tpu.parallel.partition import partition_graph
 
-    gb = _make_graph(V, E, "ell")
+    gb = _make_graph(V, E, "ell", robots=robots)
     plan = partition_graph(gb, 1)
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "graph"))
     ops = dispatch.get_ops(ops_impl)
@@ -317,6 +320,40 @@ def main():
             log(f"train_part_{impl}_bf16: unavailable "
                 f"({type(e).__name__}: {e})")
 
+    # HIGH-DEGREE partitioned path (round 5): deg-192 scenes make the
+    # per-shard local width exceed the 128-column kernel cap, so the local
+    # aggregate rides the per-shard ROW-EXPANDED plan inside shard_map.
+    # Gate first at a scale the XLA gather oracle can still compile
+    # (V=1024), then time at swarm scale where the xla variant's gather
+    # fallback OOMs (recorded as unavailable — itself the result).
+    HR = 193                       # deg-192 fully-connected scenes
+    if on_tpu:
+        try:
+            make_partitioned_local_bench(
+                "pallas", 1024, 5 * HR * (HR - 1), D, dk, 1, bf16=True,
+                check=True, robots=HR)
+            log("chip check partitioned hideg (deg-192, expanded-in-"
+                "shard_map) OK")
+        except Exception as e:
+            raise SystemExit(
+                f"partitioned hideg chip gate FAILED: {e}") from e
+    E_h = (V // HR) * HR * (HR - 1)
+    for impl in ("xla", "pallas"):
+        for train_v, prefix in ((False, "part"), (True, "train_part")):
+            if args.skip_train and train_v:
+                continue
+            name = f"{prefix}_{impl}_hideg_bf16"
+            try:
+                benches[name] = make_partitioned_local_bench(
+                    impl, V, E_h, D, dk, args.iters, bf16=True,
+                    train=train_v, robots=HR)
+                log(f"compiled {name}")
+            except Exception as e:
+                msg = str(e)
+                kind = ("HBM OOM" if "memory space hbm" in msg
+                        or "Ran out of memory" in msg else msg[:120])
+                log(f"{name}: unavailable ({type(e).__name__}: {kind})")
+
     probe = make_stream_probe(V, D, args.iters)
     results, hbm = run_rounds(benches, probe, args.rounds)
     for name, eps in sorted(results.items(), key=lambda kv: -kv[1]):
@@ -346,7 +383,12 @@ def main():
                       ("partitioned pallas/xla", "part_pallas_bf16",
                        "part_xla_bf16"),
                       ("partitioned train pallas/xla",
-                       "train_part_pallas_bf16", "train_part_xla_bf16")]:
+                       "train_part_pallas_bf16", "train_part_xla_bf16"),
+                      ("partitioned hideg pallas/xla",
+                       "part_pallas_hideg_bf16", "part_xla_hideg_bf16"),
+                      ("partitioned hideg train pallas/xla",
+                       "train_part_pallas_hideg_bf16",
+                       "train_part_xla_hideg_bf16")]:
         r = ratio(a, b)
         if r:
             log(f"{tag}: {r:.2f}x")

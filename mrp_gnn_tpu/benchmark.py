@@ -249,7 +249,8 @@ def _cost(compiled) -> tuple:
         return None, None
 
 
-def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
+def bench_mfu(config_name="five_robot_attention", inner=20,
+              encoder_channels=None) -> list:
     """Full-train-step accounting against the MACHINE (BASELINE.json:5
     "speed-of-light", beyond the edge block): per-stage FLOPs + bytes from
     XLA's cost analysis, per-stage wall-clock from data-dependent chains,
@@ -273,6 +274,17 @@ def bench_mfu(config_name="five_robot_attention", inner=20) -> list:
                                    make_train_step)
 
     cfg = get_config(config_name)
+    if encoder_channels is not None:
+        # compute-dense CONTROL (VERDICT r4 weak #2): the same step with a
+        # wide-channel encoder, to separate "the framework caps MFU" from
+        # "the contract model's thin convs cannot fill the MXU". Wide convs
+        # raise arithmetic intensity ~linearly in channel width, so if the
+        # framework (dispatch, layout, fusion) were the ceiling, sol_frac
+        # would NOT climb with width.
+        import dataclasses as _dc
+        cfg = cfg.replace(model=_dc.replace(
+            cfg.model, encoder_channels=tuple(encoder_channels)))
+        config_name = f"{config_name}+ch{'-'.join(map(str, encoder_channels))}"
     mc = cfg.model
     dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
     batch = next(iter(make_dataset(cfg.data, "train", shuffle=False)))
@@ -605,6 +617,9 @@ def main(argv=None):
     p.add_argument("--nodes", type=int, default=8192)
     p.add_argument("--feature_dim", type=int, default=2048)
     p.add_argument("--config", default="five_robot_attention")
+    p.add_argument("--encoder_channels", default=None,
+                   help="comma-separated override for the encoder channel "
+                        "stack (mfu compute-dense control, e.g. 128,256,512)")
     p.add_argument("--inner", type=int, default=50)
     p.add_argument("--out", default=None, help="append JSONL to this file")
     p.add_argument("--profile", default=None,
@@ -628,8 +643,11 @@ def main(argv=None):
             recs += bench_train_edge(args.nodes, args.feature_dim,
                                      inner=max(args.inner // 2, 10))
         if args.what in ("mfu", "all"):
+            ch = (tuple(int(c) for c in args.encoder_channels.split(","))
+                  if args.encoder_channels else None)
             recs += bench_mfu(args.config,
-                              inner=max(args.inner // 2, 10))
+                              inner=max(args.inner // 2, 10),
+                              encoder_channels=ch)
         if args.what in ("scaling", "all"):
             recs += bench_scaling(inner=args.inner, topology=args.topology,
                                   exchange=args.exchange)

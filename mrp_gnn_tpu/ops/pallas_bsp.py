@@ -510,6 +510,126 @@ def _spmm_t_forward(alpha, x, ell_src, pdt, pst, fit, lat, T, interpret,
     return out[:, :D_orig] if D_orig != D else out
 
 
+def _spmm_t2_kernel(pd_ref, ps_ref, first_ref, last_ref,
+                    w1_ref, w2_ref, src_ref, x1_ref, x2_ref,
+                    out1_ref, out2_ref, acc1_ref, acc2_ref):
+    """DUAL transposed SpMM over one src-major sweep with a SHARED one-hot
+    selection: out1[s] += A1(pair)^T @ x1[dst] and out2[s] += A2(pair)^T @
+    x2[dst], A1/A2 built from w1/w2 over the same (col == srcj) compare.
+    The fused-attention backward needs exactly this pair (dvalues from
+    alpha x g, dk from dlog x q) — running them in one sweep builds the
+    selection once instead of twice, the per-column compute bottleneck.
+
+    Grid (x1 feature tiles, pairs) — pairs fastest, grouped by src tile.
+    x2 is narrow (attention dim) and rides whole per step; its accumulator
+    is recomputed identically on every feature-tile sweep and its output
+    block rewritten with the same values (negligible bytes — required
+    because revisited Pallas output windows do not persist across grid
+    sweeps on TPU)."""
+    p = pl.program_id(1)
+    Tv, deg = src_ref.shape
+    Ts = out1_ref.shape[0]
+    base = ps_ref[p] * Ts
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tv, Ts), 1) + base
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (Tv, deg), 1)
+    src = src_ref[:]
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+
+    def col_a(j, carry):
+        A1, A2 = carry
+        srcj = jnp.sum(jnp.where(dcol == j, src, 0), axis=1, keepdims=True)
+        sel = (col == srcj).astype(jnp.float32)
+        a1j = jnp.sum(jnp.where(dcol == j, w1, 0.0), axis=1, keepdims=True)
+        a2j = jnp.sum(jnp.where(dcol == j, w2, 0.0), axis=1, keepdims=True)
+        return (A1 + a1j * sel, A2 + a2j * sel)
+
+    zero = jnp.zeros((Tv, Ts), jnp.float32)
+    A1, A2 = _col_loop(deg, col_a, (zero, zero))
+    c1 = jax.lax.dot_general(
+        A1.astype(x1_ref.dtype), x1_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(x1_ref.dtype))        # [Ts, Tf]
+    c2 = jax.lax.dot_general(
+        A2.astype(x2_ref.dtype), x2_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(x2_ref.dtype))        # [Ts, D2]
+    first = first_ref[p] == 1
+    acc1 = jnp.where(first, c1, acc1_ref[:] + c1)
+    acc2 = jnp.where(first, c2, acc2_ref[:] + c2)
+    acc1_ref[:] = acc1
+    acc2_ref[:] = acc2
+
+    @pl.when(last_ref[p] == 1)
+    def _emit():
+        out1_ref[:] = acc1.astype(out1_ref.dtype)
+        out2_ref[:] = acc2.astype(out2_ref.dtype)
+
+
+def _spmm_t2_forward(w1, x1, w2, x2, ell_src, pdt, pst, fit, lat, T,
+                     interpret, out_rows, out1_dtype, out2_dtype):
+    """(out1, out2) = two transposed SpMMs over one shared src-major sweep.
+    Falls back to two separate sweeps when x2 is too wide to ride whole
+    alongside an x1 feature tile in the VMEM block budget."""
+    if x2.shape[1] > 512:
+        return (_spmm_t_forward(w1, x1, ell_src, pdt, pst, fit, lat, T,
+                                interpret, out_dtype=out1_dtype,
+                                out_rows=out_rows),
+                _spmm_t_forward(w2, x2, ell_src, pdt, pst, fit, lat, T,
+                                interpret, out_dtype=out2_dtype,
+                                out_rows=out_rows))
+    x1, D1_orig = _pad_lanes(x1)
+    x2, D2_orig = _pad_lanes(x2)
+    D1, D2 = x1.shape[1], x2.shape[1]
+    V = out_rows
+    deg = ell_src.shape[1]
+    num_pairs = pdt.shape[0]
+    Tf = _pick_feat_tile(D1, interpret, x1.dtype)
+    vma = _out_vma(w1, x1, w2, x2, ell_src)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(D1 // Tf, num_pairs),
+        in_specs=[
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # w1 (dst tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # w2 (dst tile)
+            pl.BlockSpec((T, deg), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # ell_src tile
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (pd[p], f),
+                         memory_space=pltpu.VMEM),     # x1 (dst tile)
+            pl.BlockSpec((T, D2), lambda f, p, pd, ps, fi, la: (pd[p], 0),
+                         memory_space=pltpu.VMEM),     # x2 (dst tile)
+        ],
+        out_specs=[
+            pl.BlockSpec((T, Tf), lambda f, p, pd, ps, fi, la: (ps[p], f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, D2), lambda f, p, pd, ps, fi, la: (ps[p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((T, Tf), jnp.float32),
+                        pltpu.VMEM((T, D2), jnp.float32)],
+    )
+    out1, out2 = pl.pallas_call(
+        _spmm_t2_kernel,
+        grid_spec=grid_spec,
+        out_shape=(_sds((V, D1), out1_dtype, vma),
+                   _sds((V, D2), out2_dtype, vma)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_pairs * T * T * (D1 + D2),
+            bytes_accessed=(num_pairs * T * D1 + V * D1) * x1.dtype.itemsize
+            + (num_pairs * T * D2 + V * D2) * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pdt, pst, fit, lat, w1, w2, ell_src, x1, x2)
+    if D1_orig != D1:
+        out1 = out1[:, :D1_orig]
+    if D2_orig != D2:
+        out2 = out2[:, :D2_orig]
+    return out1, out2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def _bsp_spmm(alpha, values, ell_src, pd, ps, fi, la, pdt, pst, fit, lat,
               T, interpret):
@@ -723,14 +843,16 @@ def _bsp_fused_bwd(T, interpret, res, g):
     e = jnp.where(mask_f, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
     den = jnp.sum(e, axis=-1, keepdims=True)
     alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
-    dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
-                              interpret, out_dtype=values.dtype,
-                              out_rows=values.shape[0])
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
+    # dvalues and dk share the src-major plan — ONE dual sweep builds the
+    # one-hot selection once for both (the per-column compute bottleneck).
+    dvalues, dk_ = _spmm_t2_forward(alpha, g, dlog, q, src, pdt, pst, fit,
+                                    lat, T, interpret,
+                                    out_rows=values.shape[0],
+                                    out1_dtype=values.dtype,
+                                    out2_dtype=k.dtype)
     dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
-    dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
-                          out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + nones
 
 
@@ -1197,17 +1319,19 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     den = jnp.sum(e, axis=-1, keepdims=True)
     alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
     alpha_x = alpha.reshape(-1, W)
-    dvalues = _spmm_t_forward(alpha_x, g_x, src_x, pdt, pst, fit, lat, T,
-                              interpret, out_dtype=values.dtype,
-                              out_rows=values.shape[0])
     dalpha = dalpha_x.reshape(V, rows * W)
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
     dlog_x = dlog.reshape(-1, W)
+    # dvalues and dk share the src-major expanded plan — ONE dual sweep
+    # builds the one-hot selection once for both.
+    dvalues, dk_ = _spmm_t2_forward(alpha_x, g_x, dlog_x, q_x, src_x,
+                                    pdt, pst, fit, lat, T, interpret,
+                                    out_rows=values.shape[0],
+                                    out1_dtype=values.dtype,
+                                    out2_dtype=k.dtype)
     dq_x = _spmm_forward(dlog_x, k, src_x, pd, ps, fi, la, T, interpret)
     dq = dq_x.reshape(V, rows, dk).astype(jnp.float32).sum(axis=1) * scale
-    dk_ = _spmm_t_forward(dlog_x, q_x, src_x, pdt, pst, fit, lat, T,
-                          interpret, out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + (None,) * 10
 
 
