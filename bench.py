@@ -357,7 +357,8 @@ def main():
     probe = make_stream_probe(V, D, args.iters)
     results, hbm = run_rounds(benches, probe, args.rounds)
     for name, eps in sorted(results.items(), key=lambda kv: -kv[1]):
-        log(f"{name}: {eps:,.0f} edges/s  (V={V} E={E} D={D})")
+        e_var = benches[name][1] // args.iters
+        log(f"{name}: {eps:,.0f} edges/s  (V={V} E={e_var} D={D})")
 
     # Roofline from the best MEASURED stream bandwidth (the axon-tunneled
     # chip delivers far below the v5e spec's 819 GB/s — scripts/hw_probe.py):

@@ -520,6 +520,13 @@ def _spmm_t2_kernel(pd_ref, ps_ref, first_ref, last_ref,
     alpha x g, dk from dlog x q) — running them in one sweep builds the
     selection once instead of twice, the per-column compute bottleneck.
 
+    BENCH-ONLY (round 5): a 6-round interleaved chip A/B measured this
+    kernel at 0.955x +/- 0.005 of the two-separate-sweeps form in the
+    expanded training backward (BASELINE.md round 5) — the tuple-carry
+    column loop costs more than the shared selection saves — so the
+    backwards dispatch the separate sweeps; the kernel stays correct
+    (interpret-tested) and measurable.
+
     Grid (x1 feature tiles, pairs) — pairs fastest, grouped by src tile.
     x2 is narrow (attention dim) and rides whole per step; its accumulator
     is recomputed identically on every feature-tile sweep and its output
@@ -843,16 +850,19 @@ def _bsp_fused_bwd(T, interpret, res, g):
     e = jnp.where(mask_f, jnp.exp(x - jnp.maximum(mx, _NEG / 2)), 0.0)
     den = jnp.sum(e, axis=-1, keepdims=True)
     alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
+    dvalues = _spmm_t_forward(alpha, g, src, pdt, pst, fit, lat, T,
+                              interpret, out_dtype=values.dtype,
+                              out_rows=values.shape[0])
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
-    # dvalues and dk share the src-major plan — ONE dual sweep builds the
-    # one-hot selection once for both (the per-column compute bottleneck).
-    dvalues, dk_ = _spmm_t2_forward(alpha, g, dlog, q, src, pdt, pst, fit,
-                                    lat, T, interpret,
-                                    out_rows=values.shape[0],
-                                    out1_dtype=values.dtype,
-                                    out2_dtype=k.dtype)
     dq = _spmm_forward(dlog, k, src, pd, ps, fi, la, T, interpret)
+    # dvalues/dk deliberately run as TWO separate transposed sweeps: the
+    # dual-sweep kernel (_spmm_t2, kept benchmarkable) measured 0.955x of
+    # the separate form in a 6-round interleaved chip A/B (BASELINE.md
+    # round 5) — the tuple-carry column loop costs more than the shared
+    # selection saves.
+    dk_ = _spmm_t_forward(dlog, q, src, pdt, pst, fit, lat, T, interpret,
+                          out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + nones
 
 
@@ -1319,19 +1329,20 @@ def _xp_fused_bwd(rows, T, interpret, res, g):
     den = jnp.sum(e, axis=-1, keepdims=True)
     alpha = jnp.where(den > 0, e / jnp.maximum(den, 1e-30), 0.0)
     alpha_x = alpha.reshape(-1, W)
+    # Two separate transposed sweeps, NOT the dual _spmm_t2 kernel: the
+    # 6-round interleaved chip A/B measured the dual at 0.955x of this
+    # form (BASELINE.md round 5).
+    dvalues = _spmm_t_forward(alpha_x, g_x, src_x, pdt, pst, fit, lat, T,
+                              interpret, out_dtype=values.dtype,
+                              out_rows=values.shape[0])
     dalpha = dalpha_x.reshape(V, rows * W)
     dlog = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=-1, keepdims=True))
     dlog = jnp.where(mask, dlog, 0.0)
     dlog_x = dlog.reshape(-1, W)
-    # dvalues and dk share the src-major expanded plan — ONE dual sweep
-    # builds the one-hot selection once for both.
-    dvalues, dk_ = _spmm_t2_forward(alpha_x, g_x, dlog_x, q_x, src_x,
-                                    pdt, pst, fit, lat, T, interpret,
-                                    out_rows=values.shape[0],
-                                    out1_dtype=values.dtype,
-                                    out2_dtype=k.dtype)
     dq_x = _spmm_forward(dlog_x, k, src_x, pd, ps, fi, la, T, interpret)
     dq = dq_x.reshape(V, rows, dk).astype(jnp.float32).sum(axis=1) * scale
+    dk_ = _spmm_t_forward(dlog_x, q_x, src_x, pdt, pst, fit, lat, T,
+                          interpret, out_dtype=k.dtype, out_rows=k.shape[0])
     return (dq.astype(q.dtype), dk_, dvalues) + (None,) * 10
 
 

@@ -485,6 +485,33 @@ def test_expanded_dynamic_optin_capacity():
                              **{**caps, "max_expanded_pairs": 2})
 
 
+def test_dual_transposed_spmm_matches_separate_sweeps():
+    """_spmm_t2 (bench-only — chip A/B measured it 0.955x of the separate
+    sweeps, BASELINE.md round 5) must stay bit-consistent with two
+    _spmm_t_forward calls over the same plan."""
+    gb = batch_homogeneous(2, 16, radius_edges(16, 5), max_nodes=64)
+    assert B.supports(gb)
+    V, deg = gb.ell_src.shape
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.uniform(size=(V, deg)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(V, deg)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(V, 32)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    plan_t = (gb.bsp_pair_dst_t, gb.bsp_pair_src_t, gb.bsp_pair_first_t,
+              gb.bsp_pair_last_t)
+    o1, o2 = B._spmm_t2_forward(w1, x1, w2, x2, gb.ell_src, *plan_t,
+                                gb.bsp_tile, True, out_rows=V,
+                                out1_dtype=x1.dtype, out2_dtype=x2.dtype)
+    r1 = B._spmm_t_forward(w1, x1, gb.ell_src, *plan_t, gb.bsp_tile, True,
+                           out_dtype=x1.dtype, out_rows=V)
+    r2 = B._spmm_t_forward(w2, x2, gb.ell_src, *plan_t, gb.bsp_tile, True,
+                           out_dtype=x2.dtype, out_rows=V)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(r1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(r2),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_hideg_fallback_warns_without_optin():
     """A capacity-pinned stream crossing the 128-degree cap WITHOUT
     max_expanded_pairs warns about the gather-league throughput cliff;
