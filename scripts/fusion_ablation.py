@@ -29,6 +29,10 @@ def main():
     p.add_argument("--degraded", type=float, default=0.0,
                    help="fraction of robots with corrupted cameras — "
                         "attention should beat mean here")
+    p.add_argument("--seg", action="store_true",
+                   help="add the segmentation head (6 classes) so the "
+                        "ablation reports seg mIoU alongside depth — the "
+                        "contract metric line names both (BASELINE.json:2)")
     args = p.parse_args()
 
     import jax
@@ -40,28 +44,38 @@ def main():
     results = {}
     for fusion in ("none", "mean", "attention"):
         cfg = get_config("five_robot_attention")
+        n_seg = 6 if args.seg else 0
         cfg = cfg.replace(
             model=dataclasses.replace(
                 cfg.model, image_size=(args.image, args.image),
-                fusion=fusion, dtype=args.dtype,
+                fusion=fusion, dtype=args.dtype, num_seg_classes=n_seg,
                 attention_heads=args.heads if fusion == "attention" else 1),
             data=dataclasses.replace(
                 cfg.data, image_size=(args.image, args.image),
                 num_robots=args.robots, scenes_per_batch=4,
                 num_train_scenes=args.scenes, num_eval_scenes=64,
+                num_seg_classes=n_seg,
                 degraded_fraction=args.degraded),
             train=dataclasses.replace(
-                cfg.train, steps=args.steps, log_every=max(args.steps // 4, 1)),
+                cfg.train, steps=args.steps,
+                seg_loss_weight=0.5 if args.seg else 0.0,
+                log_every=max(args.steps // 4, 1)),
         )
         t0 = time.time()
         state, recs = train(cfg)
         ev = evaluate(cfg, state.params)
         results[fusion] = ev
+        miou = f" miou={ev['miou']:.4f}" if "miou" in ev else ""
         print(f"[{fusion}] train {time.time()-t0:.0f}s "
               f"final_loss={recs[-1]['total']:.4f} "
               f"rmse={ev['rmse']:.4f} abs_rel={ev['abs_rel']:.4f} "
-              f"d1={ev['delta1']:.4f}", file=sys.stderr, flush=True)
-    print(json.dumps({f: {k: round(v, 5) for k, v in ev.items()}
+              f"d1={ev['delta1']:.4f}{miou}", file=sys.stderr, flush=True)
+    def _round(v):
+        if isinstance(v, list):
+            return [_round(x) for x in v]
+        return round(v, 5) if isinstance(v, float) else v
+
+    print(json.dumps({f: {k: _round(v) for k, v in ev.items()}
                       for f, ev in results.items()}))
 
 

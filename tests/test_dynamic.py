@@ -249,6 +249,69 @@ def test_dynamic_partitioned_matches_unpartitioned():
     assert len(shapes) == 1, shapes
 
 
+def test_dynamic_partitioned_high_degree_expanded_optin():
+    """Round 5 composition corner: DYNAMIC topology x edge partitioning x
+    >128 local degree. With PlanCapacities.xp_pairs opted in, per-batch
+    plans carry stacked per-shard expanded arrays with batch-invariant
+    shapes, and the partitioned fusion matches the unpartitioned oracle
+    (values + grads) across differing topologies."""
+    import jax
+    import jax.numpy as jnp
+    from mrp_gnn_tpu.graph import batch_from_positions, batch_fully_connected
+    from mrp_gnn_tpu.models.fusion import default_edge_fusion
+    from mrp_gnn_tpu.ops import dispatch
+    from mrp_gnn_tpu.parallel.fused import make_partitioned_edge_fusion
+    from mrp_gnn_tpu.parallel.mesh import make_mesh
+    from mrp_gnn_tpu.parallel.partition import (capacities_of,
+                                                partition_batch,
+                                                partition_graph)
+
+    OPS = dispatch.get_ops("xla")
+    S, N = 2, 160                       # 2 shards of 160 nodes (> 128)
+    V = S * N
+    full = batch_fully_connected(S, N, max_nodes=V)
+    cap_plan = partition_graph(full, 2)  # static: xp auto-built
+    assert cap_plan.xp_pair_dst is not None and cap_plan.xp_rows == 2
+    n_xp = int(cap_plan.xp_pair_dst.shape[-1])
+    caps = dataclasses.replace(capacities_of(cap_plan),
+                               xp_pairs=n_xp + 64)  # family headroom
+    # cap_plan's xp length differs from caps.xp_pairs; only rows/width are
+    # compiled in, so rebuild the capacity plan under the same caps.
+    mesh = make_mesh(1, 2)
+    edge_fn = make_partitioned_edge_fusion(mesh, cap_plan, dynamic=True)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, 12)).astype(np.float32))
+    run = jax.jit(lambda q, k, v, g: edge_fn(OPS, "attention", q, k, v, g))
+    shapes = set()
+    for seed in (0, 1):
+        g = batch_from_positions(_dyn_positions(S, N, seed), radius=80.0,
+                                 max_nodes=V, max_edges=S * N * (N - 1),
+                                 max_degree=N - 1)
+        assert g.ell_src.shape[1] > 128
+        plan = partition_batch(g, 1, 2, caps)
+        assert plan.xp_pair_dst is not None
+        assert plan.xp_pair_dst.shape == (2, n_xp + 64)
+        assert (plan.xp_rows, plan.xp_width) == (cap_plan.xp_rows,
+                                                 cap_plan.xp_width)
+        g = dataclasses.replace(g, partition_plan=plan)
+        shapes.add(tuple(np.asarray(x).shape for x in
+                         (plan.xp_pair_dst, plan.xp_pair_dst_t,
+                          plan.ell_src)))
+        got = run(q, k, v, g)
+        want = default_edge_fusion(OPS, "attention", q, k, v, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        g_part = jax.grad(lambda v: jnp.sum(run(q, k, v, g) ** 2))(v)
+        g_ref = jax.grad(lambda v: jnp.sum(
+            default_edge_fusion(OPS, "attention", q, k, v, g) ** 2))(v)
+        np.testing.assert_allclose(np.asarray(g_part), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+    assert len(shapes) == 1, shapes
+
+
 def test_dynamic_partitioned_capacity_violation_raises():
     from mrp_gnn_tpu.parallel.partition import partition_batch
     caps, _ = _dyn_partitioned_setup(2, 4, S=4, N=32)
