@@ -67,6 +67,9 @@ def _sds(shape, dtype, vma: frozenset):
 
 
 
+_FORI_UNROLL = 32  # partial-unroll factor for the rolled column loop
+
+
 def _col_loop(deg, body, init):
     """Iterate the one-hot column build: static unroll up to 64 columns
     (fastest — Mosaic schedules the straight-line chain; chip A/B at deg 40:
@@ -75,17 +78,38 @@ def _col_loop(deg, body, init):
     scales with the unroll depth (~2 x Tv x Ts x 4 bytes ~ 123 KB per
     column at T=128) and blows the 16 MB scoped-vmem limit near width 128
     (seen on chip at the expanded width-128 plan); 64 columns cap the stack
-    at ~8 MB, safe under every feature-tile/dtype combination, and the
-    rolled loop keeps it constant beyond. Loop-dynamic ``j`` is fine: the
-    body only ever COMPARES against j (one-hot reduces), never indexes the
-    lane dimension with it.
+    at ~8 MB, safe under every feature-tile/dtype combination. Past that,
+    the loop runs MANUALLY partially unrolled: each fori trip statically
+    runs _FORI_UNROLL bodies at dynamic column offsets (~4 MB stack at 32),
+    with a full-unroll epilogue for the remainder. Round-5 interleaved chip
+    sweep at deg-255/W=128 (BASELINE.md): rolled 265M/92M edges/s
+    (fwd/train) -> u=8 371M/133M -> u=32 390M/140M, outputs bit-identical;
+    Mosaic's own loop lowering only supports unroll=1 or full, hence the
+    manual form. Loop-dynamic ``j`` is fine: the body only ever COMPARES
+    against j (one-hot reduces), never indexes the lane dimension with it.
     """
     if deg <= 64:
         c = init
         for j in range(deg):
             c = body(j, c)
         return c
-    return jax.lax.fori_loop(0, deg, body, init, unroll=False)
+    u = _FORI_UNROLL
+    main = (deg // u) * u if u > 1 else deg
+    if u > 1:
+        # MANUAL partial unroll: Mosaic's loop lowering only supports
+        # unroll=1 or full, so each fori trip statically runs u bodies at
+        # dynamic column offsets (compares only — never lane indexing).
+        def trip(t, c):
+            base = t * u
+            for cc in range(u):
+                c = body(base + cc, c)
+            return c
+        c = jax.lax.fori_loop(0, main // u, trip, init, unroll=False)
+    else:
+        c = jax.lax.fori_loop(0, main, body, init, unroll=False)
+    for j in range(main, deg):
+        c = body(j, c)
+    return c
 
 
 # --- kernel 1: fused SDDMM + segment softmax --------------------------------
