@@ -545,11 +545,11 @@ def _spmm_t2_kernel(pd_ref, ps_ref, first_ref, last_ref,
     selection once instead of twice, the per-column compute bottleneck.
 
     BENCH-ONLY (round 5): a 6-round interleaved chip A/B measured this
-    kernel at 0.955x +/- 0.005 of the two-separate-sweeps form in the
-    expanded training backward (BASELINE.md round 5) — the tuple-carry
-    column loop costs more than the shared selection saves — so the
-    backwards dispatch the separate sweeps; the kernel stays correct
-    (interpret-tested) and measurable.
+    kernel at 0.955x +/- 0.005 of the two-separate-sweeps form under the
+    ROLLED column loop, and dead-even (1.001x) after the manual partial
+    unroll landed (BASELINE.md round 5) — no win either way, so the
+    backwards dispatch the simpler separate sweeps; the kernel stays
+    correct (interpret-tested) and measurable.
 
     Grid (x1 feature tiles, pairs) — pairs fastest, grouped by src tile.
     x2 is narrow (attention dim) and rides whole per step; its accumulator
