@@ -140,6 +140,15 @@ class ParallelConfig:
     # issue the value collective before the local partial aggregation so XLA
     # hides the ICI transfer; False serializes it after (the A/B control).
     overlap_boundary_exchange: bool = True
+    # DYNAMIC partitioned streams whose per-shard local in-degree exceeds
+    # the 128-column kernel cap: pinned length for the per-shard
+    # row-expanded tile-pair plans (PlanCapacities.xp_pairs — the opt-in
+    # that keeps the local aggregate on the expanded Pallas kernels
+    # instead of the XLA gather fallback). 0 = fallback (with a one-time
+    # warning); the expanded-plan length is not subset-monotone, so only
+    # the caller can bound their topology family (docs/kernels.md) — a
+    # violating batch raises at plan build. Static plans need no opt-in.
+    expanded_plan_pairs: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -219,24 +219,32 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warn_hideg_fallback(width: int) -> None:
+def _warn_hideg_fallback(width: int, partitioned: bool = False) -> None:
     """Warn (once per process — the default warnings dedup) when a
-    capacity-pinned batch crosses the 128-degree kernel cap WITHOUT the
-    max_expanded_pairs opt-in: the aggregation silently drops from the
+    capacity-pinned batch/plan crosses the 128-degree kernel cap WITHOUT
+    the expanded-plan opt-in: the aggregation silently drops from the
     row-expanded Pallas kernels to the XLA gather league (~5-10x slower,
     and prone to OOM at swarm scale — BASELINE.md round 4). The opt-in is
     explicit because the expanded-plan length is not subset-monotone, so
     no sound automatic capacity exists (docs/kernels.md 'Degree cap')."""
     import warnings
+    if partitioned:
+        optin = ("Set PlanCapacities.xp_pairs=<bound for your topology "
+                 "family> (ParallelConfig.expanded_plan_pairs from the "
+                 "config path) to keep the partitioned local aggregate on "
+                 "the expanded kernels")
+        what = "per-shard local in-degree width"
+    else:
+        optin = ("Pass max_expanded_pairs=<bound for your topology family> "
+                 "to batch_from_positions/build_graph_batch to opt in")
+        what = "graph batch in-degree width"
     warnings.warn(
-        f"graph batch in-degree width {width} exceeds the 128-column "
-        "kernel cap but carries no row-expanded plan: capacity-pinned "
-        "(dynamic) streams build one only with the max_expanded_pairs "
-        "opt-in, so edge aggregation falls back to the XLA gather path "
-        "(~5-10x slower; can OOM at swarm scale). Pass "
-        "max_expanded_pairs=<bound for your topology family> to "
-        "batch_from_positions/build_graph_batch to opt in "
-        "(docs/kernels.md 'Degree cap and the row-expansion extension').",
+        f"{what} {width} exceeds the 128-column kernel cap but carries no "
+        "row-expanded plan: capacity-pinned (dynamic) streams build one "
+        "only with an explicit opt-in, so edge aggregation falls back to "
+        f"the XLA gather path (~5-10x slower; can OOM at swarm scale). "
+        f"{optin} (docs/kernels.md 'Degree cap and the row-expansion "
+        "extension').",
         UserWarning, stacklevel=3)
 
 

@@ -1055,15 +1055,21 @@ _bsp_sddmm.defvjp(_bsp_sddmm_fwd, _bsp_sddmm_bwd)
 # "Degree cap and the designed extension".
 
 
+def _expand_rows(x, rows: int, width: int):
+    """Row-major [V, deg] -> [V*rows, width] view (zero/False-padded tail
+    columns) — THE layout contract with graph.build_expanded_bsp: the
+    host-side plan builder and every trace-time consumer must reshape the
+    same way or the kernels read the wrong sources."""
+    return jnp.pad(x, ((0, 0), (0, rows * width - x.shape[1]))
+                   ).reshape(-1, width)
+
+
 def expand_ell_view(ell_src, ell_mask, rows: int, width: int):
     """Trace-time [V*R, W] view of an ELL layout matching the host-side
     layout build_expanded_bsp derived its plan from (row-major reshape of
     the [V, R*W]-padded neighbour list; pad columns are mask-False)."""
-    deg = ell_src.shape[1]
-    pad = rows * width - deg
-    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
-    mask_x = jnp.pad(ell_mask, ((0, 0), (0, pad))).reshape(-1, width)
-    return src_x, mask_x
+    return (_expand_rows(ell_src, rows, width),
+            _expand_rows(ell_mask, rows, width))
 
 
 def _expand_ell(graph):
@@ -1091,10 +1097,8 @@ def xp_weighted_aggregate(weights: jax.Array, values: jax.Array,
     exists inside the shard_map body). weights [V, deg], 0 on masked
     slots; differentiable through the kernel custom_vjps."""
     V, deg = ell_src.shape
-    pad = rows * width - deg
-    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
-    w_x = jnp.pad(weights.astype(jnp.float32),
-                  ((0, 0), (0, pad))).reshape(-1, width)
+    src_x = _expand_rows(ell_src, rows, width)
+    w_x = _expand_rows(weights.astype(jnp.float32), rows, width)
     out_x = _bsp_spmm(w_x, values, src_x, *xplan, tile,
                       _interpret())                            # [V*R, D]
     return (out_x.reshape(V, rows, -1).astype(jnp.float32).sum(axis=1)
@@ -1111,10 +1115,12 @@ def xp_sddmm(a: jax.Array, b: jax.Array, ell_src: jax.Array,
     within deg carry whatever the kernel computed for slot src 0 and must
     be masked by the caller exactly like ell_sddmm's output."""
     V, deg = ell_src.shape
-    pad = rows * width - deg
-    src_x = jnp.pad(ell_src, ((0, 0), (0, pad))).reshape(-1, width)
-    a_x = jnp.repeat(a.astype(jnp.float32), rows, axis=0)
-    logits_x = _bsp_sddmm(a_x, b.astype(jnp.float32), src_x, *xplan, tile,
+    src_x = _expand_rows(ell_src, rows, width)
+    # Operands stream in their NATIVE dtypes — _edge_dot keeps same-dtype
+    # pairs on the MXU without f32 VMEM copies and equalizes mixed pairs
+    # per block; the kernel's output/accumulation is f32 either way.
+    a_x = jnp.repeat(a, rows, axis=0)
+    logits_x = _bsp_sddmm(a_x, b, src_x, *xplan, tile,
                           _interpret())                        # [V*R, W]
     return logits_x.reshape(V, rows * width)[:, :deg]
 

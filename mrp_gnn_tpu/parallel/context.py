@@ -174,6 +174,12 @@ def make_parallel_context(cfg: ExperimentConfig,
             full = batch_fully_connected(scenes_rep, d.num_robots)
             plan = partition_graph(full, pc.graph_axis_size)
             dyn_caps = capacities_of(plan)
+            xp_pairs = getattr(pc, "expanded_plan_pairs", 0)
+            if xp_pairs:
+                # >128-degree dynamic streams: keep the local aggregate on
+                # the row-expanded Pallas kernels (ParallelConfig doc).
+                import dataclasses as _dc
+                dyn_caps = _dc.replace(dyn_caps, xp_pairs=xp_pairs)
             edge_fn = make_partitioned_edge_fusion(
                 mesh, plan,
                 exchange=getattr(pc, "boundary_exchange", "boundary"),

@@ -85,8 +85,15 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                 raise ValueError("per-batch plan structure differs from the "
                                  "capacity plan — build it with the same "
                                  "PlanCapacities")
-            if (live.xp_rows, live.xp_width) != (plan.xp_rows,
-                                                 plan.xp_width):
+            # A live plan WITHOUT expanded arrays is legal: the capacity
+            # set had no xp_pairs opt-in, so the local path takes the ELL
+            # gather fallback (a static capacity plan may still carry its
+            # own auto-built xp arrays — that asymmetry is the documented
+            # default, not an error). Only a PRESENT-but-mismatched
+            # expanded structure is a build error.
+            if (live.xp_pair_dst is not None
+                    and (live.xp_rows, live.xp_width) != (plan.xp_rows,
+                                                          plan.xp_width)):
                 raise ValueError("per-batch expanded-plan structure differs "
                                  "from the capacity plan — build it with "
                                  "the same PlanCapacities (xp_pairs)")
@@ -268,7 +275,8 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                         live.bsp_pair_first, live.bsp_pair_last,
                         live.bsp_pair_dst_t, live.bsp_pair_src_t,
                         live.bsp_pair_first_t, live.bsp_pair_last_t)
-        elif is_pallas and live.xp_pair_dst is not None:
+        elif (is_pallas and live.xp_pair_dst is not None
+              and plan.xp_pair_dst is not None):  # plan meta drives kernels
             mode = "xp"
             bsp_args = (live.xp_pair_dst, live.xp_pair_src,
                         live.xp_pair_first, live.xp_pair_last,

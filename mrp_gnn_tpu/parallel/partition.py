@@ -282,7 +282,7 @@ def _expanded_plan_arrays(arrs: dict,
         return
     if capacities is not None and not capacities.xp_pairs:
         from mrp_gnn_tpu.graph import _warn_hideg_fallback
-        _warn_hideg_fallback(L)
+        _warn_hideg_fallback(L, partitioned=True)
         return
     from mrp_gnn_tpu.graph import build_expanded_bsp
     ell_src = np.asarray(arrs["ell_src"])
@@ -294,16 +294,40 @@ def _expanded_plan_arrays(arrs: dict,
                                    max_pairs=max_pairs, to_device=False)
                 for p in range(P)]
 
+    fields = ("pair_dst", "pair_src", "pair_first", "pair_last",
+              "pair_dst_t", "pair_src_t", "pair_first_t", "pair_last_t")
     if capacities is not None:
         per = build(int(capacities.xp_pairs))  # violations raise inside
+        stacked = {f: np.stack([np.asarray(getattr(x, f)) for x in per])
+                   for f in fields}
     else:
-        probe = build(None)
-        pmax = max(int(np.asarray(x.pair_dst).shape[0]) for x in probe)
-        per = build(pmax)  # re-pin so every shard stacks to one length
-    for k, field in zip(_XP_KEYS, ("pair_dst", "pair_src", "pair_first",
-                                   "pair_last", "pair_dst_t", "pair_src_t",
-                                   "pair_first_t", "pair_last_t")):
-        arrs[k] = np.stack([np.asarray(getattr(x, field)) for x in per])
+        # ONE build pass; shards are equalized to the max length by
+        # manual inert-tail padding — bit-identical to a pinned rebuild
+        # (build_bsp_pairs pads dst-major tails with the last dst/src
+        # tile, derive_bsp_pairs_t pads with the last src tile; inert
+        # first=last=0 pairs only revisit already-emitted output tiles).
+        per = build(None)
+        pmax = max(int(np.asarray(x.pair_dst).shape[0]) for x in per)
+        rows = per[0].rows
+        nps = int(ell_src.shape[1])
+        nt_src = nps // tile
+        nt_dst = (nps * rows) // tile
+        fills = {"pair_dst": nt_dst - 1, "pair_src": nt_src - 1,
+                 "pair_first": 0, "pair_last": 0,
+                 "pair_dst_t": nt_src - 1, "pair_src_t": nt_src - 1,
+                 "pair_first_t": 0, "pair_last_t": 0}
+        lens = {f: (pmax if not f.endswith("_t") else pmax + nt_src)
+                for f in fields}
+
+        def pad(a, f):
+            a = np.asarray(a)
+            tail = np.full(lens[f] - a.shape[0], fills[f], np.int32)
+            return np.concatenate([a, tail])
+
+        stacked = {f: np.stack([pad(getattr(x, f), f) for x in per])
+                   for f in fields}
+    for k, f in zip(_XP_KEYS, fields):
+        arrs[k] = stacked[f]
     arrs["xp_rows"] = per[0].rows
     arrs["xp_width"] = per[0].width
 

@@ -311,6 +311,37 @@ def test_dynamic_partitioned_high_degree_expanded_optin():
                                    rtol=1e-4, atol=1e-4)
     assert len(shapes) == 1, shapes
 
+    # WITHOUT the opt-in (capacities_of's default — the production path in
+    # parallel/context.py) the same edge_fn must take the documented ELL
+    # gather FALLBACK, not raise, even though the static capacity plan
+    # auto-carries its own expanded arrays (round-5 regression guard).
+    import warnings as _w
+    g = batch_from_positions(_dyn_positions(S, N, 0), radius=80.0,
+                             max_nodes=V, max_edges=S * N * (N - 1),
+                             max_degree=N - 1)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", UserWarning)
+        plan0 = partition_batch(g, 1, 2, capacities_of(cap_plan))
+    assert plan0.xp_pair_dst is None
+    g0 = dataclasses.replace(g, partition_plan=plan0)
+    got0 = run(q, k, v, g0)
+    want0 = default_edge_fusion(OPS, "attention", q, k, v, g0)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_parallel_context_expanded_plan_pairs_plumbing():
+    """ParallelConfig.expanded_plan_pairs reaches the dynamic capacity set
+    (the config-path opt-in for >128-degree partitioned streams)."""
+    from mrp_gnn_tpu.parallel.context import make_parallel_context
+    cfg = _tiny_cfg(scenes_per_batch=2)
+    cfg = cfg.replace(parallel=dataclasses.replace(
+        cfg.parallel, data_axis_size=1, graph_axis_size=2,
+        expanded_plan_pairs=32))
+    ctx = make_parallel_context(cfg, None)  # dynamic: no static graph
+    assert ctx is not None and ctx.dyn_caps is not None
+    assert ctx.dyn_caps.xp_pairs == 32
+
 
 def test_dynamic_partitioned_capacity_violation_raises():
     from mrp_gnn_tpu.parallel.partition import partition_batch

@@ -287,7 +287,7 @@ def test_partition_capacity_expanded_optin_and_warning():
                            max_nodes=512)
     base = partition_graph(gb, 2)
     caps = capacities_of(base)
-    with pytest.warns(UserWarning, match="max_expanded_pairs"):
+    with pytest.warns(UserWarning, match="xp_pairs"):
         plan = partition_graph(gb, 2, capacities=caps)
     assert plan.xp_pair_dst is None and plan.xp_rows == 0
     n_xp = int(base.xp_pair_dst.shape[-1])
