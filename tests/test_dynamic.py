@@ -330,6 +330,30 @@ def test_dynamic_partitioned_high_degree_expanded_optin():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_dynamic_partitioned_hideg_train_e2e():
+    """Full composition through train(): dynamic >128-degree capacity x
+    edge partitioning x the ParallelConfig.expanded_plan_pairs opt-in —
+    per-batch plans carry per-shard expanded arrays and the step trains.
+    (CPU falls back to the ELL math inside shard_map; the plan machinery
+    and config plumbing are what this exercises e2e — the kernels
+    themselves are chip-gated by bench.py.) 180 pairs >= nt_dst*nt_src
+    (18*9), the absolute per-shard bound, so no topology can violate."""
+    import jax
+    from mrp_gnn_tpu.train import train
+    cfg = _tiny_cfg(num_robots=144, scenes_per_batch=2)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps=2, log_every=1,
+                                  eval_every=0, checkpoint_every=0),
+        parallel=dataclasses.replace(cfg.parallel, data_axis_size=1,
+                                     graph_axis_size=2, ops_impl="xla",
+                                     expanded_plan_pairs=180),
+    )
+    state, recs = train(cfg)
+    assert np.isfinite(recs[-1]["total"])
+    assert int(jax.device_get(state.step)) == 2
+
+
 def test_parallel_context_expanded_plan_pairs_plumbing():
     """ParallelConfig.expanded_plan_pairs reaches the dynamic capacity set
     (the config-path opt-in for >128-degree partitioned streams)."""
