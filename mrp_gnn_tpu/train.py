@@ -593,6 +593,11 @@ def main(argv=None):
                    help="override ParallelConfig.graph_axis_size")
     p.add_argument("--model_axis", type=int, default=None,
                    help="override ParallelConfig.model_axis_size")
+    p.add_argument("--expanded_plan_pairs", type=int, default=None,
+                   help="override ParallelConfig.expanded_plan_pairs — the "
+                        "per-shard row-expanded plan opt-in for dynamic "
+                        "partitioned streams past the 128-degree kernel cap"
+                        " (docs/kernels.md)")
     add_multihost_args(p)
     args = p.parse_args(argv)
 
@@ -641,6 +646,9 @@ def main(argv=None):
         pc = dataclasses.replace(pc, graph_axis_size=args.graph_axis)
     if args.model_axis is not None:
         pc = dataclasses.replace(pc, model_axis_size=args.model_axis)
+    if args.expanded_plan_pairs is not None:
+        pc = dataclasses.replace(pc,
+                                 expanded_plan_pairs=args.expanded_plan_pairs)
     cfg = cfg.replace(parallel=pc)
 
     if args.debug:
