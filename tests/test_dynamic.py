@@ -286,10 +286,20 @@ def test_dynamic_partitioned_high_degree_expanded_optin():
     v = jnp.asarray(rng.normal(size=(V, 12)).astype(np.float32))
     run = jax.jit(lambda q, k, v, g: edge_fn(OPS, "attention", q, k, v, g))
     shapes = set()
+    import warnings as _w
+
+    def _build(seed):
+        # suppress the GRAPH-level fallback warning: the graph's own BSP
+        # plan is unused here (the partition plan carries the xp opt-in)
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", UserWarning)
+            return batch_from_positions(_dyn_positions(S, N, seed),
+                                        radius=80.0, max_nodes=V,
+                                        max_edges=S * N * (N - 1),
+                                        max_degree=N - 1)
+
     for seed in (0, 1):
-        g = batch_from_positions(_dyn_positions(S, N, seed), radius=80.0,
-                                 max_nodes=V, max_edges=S * N * (N - 1),
-                                 max_degree=N - 1)
+        g = _build(seed)
         assert g.ell_src.shape[1] > 128
         plan = partition_batch(g, 1, 2, caps)
         assert plan.xp_pair_dst is not None
@@ -315,10 +325,7 @@ def test_dynamic_partitioned_high_degree_expanded_optin():
     # parallel/context.py) the same edge_fn must take the documented ELL
     # gather FALLBACK, not raise, even though the static capacity plan
     # auto-carries its own expanded arrays (round-5 regression guard).
-    import warnings as _w
-    g = batch_from_positions(_dyn_positions(S, N, 0), radius=80.0,
-                             max_nodes=V, max_edges=S * N * (N - 1),
-                             max_degree=N - 1)
+    g = _build(0)
     with _w.catch_warnings():
         _w.simplefilter("ignore", UserWarning)
         plan0 = partition_batch(g, 1, 2, capacities_of(cap_plan))
