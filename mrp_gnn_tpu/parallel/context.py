@@ -178,8 +178,7 @@ def make_parallel_context(cfg: ExperimentConfig,
             if xp_pairs:
                 # >128-degree dynamic streams: keep the local aggregate on
                 # the row-expanded Pallas kernels (ParallelConfig doc).
-                import dataclasses as _dc
-                dyn_caps = _dc.replace(dyn_caps, xp_pairs=xp_pairs)
+                dyn_caps = dataclasses.replace(dyn_caps, xp_pairs=xp_pairs)
             edge_fn = make_partitioned_edge_fusion(
                 mesh, plan,
                 exchange=getattr(pc, "boundary_exchange", "boundary"),

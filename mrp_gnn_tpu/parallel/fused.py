@@ -275,8 +275,10 @@ def make_partitioned_edge_fusion(mesh: Mesh, plan: EdgePartitionPlan,
                         live.bsp_pair_first, live.bsp_pair_last,
                         live.bsp_pair_dst_t, live.bsp_pair_src_t,
                         live.bsp_pair_first_t, live.bsp_pair_last_t)
-        elif (is_pallas and live.xp_pair_dst is not None
-              and plan.xp_pair_dst is not None):  # plan meta drives kernels
+        elif is_pallas and live.xp_pair_dst is not None:
+            # (plan.xp_* meta is consistent here by the structure check
+            # above: a live plan carrying xp arrays implies matching
+            # capacity-plan rows/width.)
             mode = "xp"
             bsp_args = (live.xp_pair_dst, live.xp_pair_src,
                         live.xp_pair_first, live.xp_pair_last,

@@ -5,10 +5,11 @@ lowering supports only unroll=1 or full, and full unroll overflows the
 scoped-VMEM stack past ~64 columns — so `pallas_bsp._col_loop` manually
 partial-unrolls (u statically unrolled bodies per fori trip at dynamic
 column offsets). This script reproduces the adoption evidence: the
-rolled form vs u in {8, 16, 32} on the deg-255 expanded one-pass
-attention, forward and training direction, interleaved with alternating
-order per repo timing protocol (single-dispatch timings over the axon
-tunnel are meaningless — scan chains only).
+rolled form vs manual u=8 and the adopted u=32 on the deg-255 expanded
+one-pass attention, forward and training direction, interleaved with
+alternating order per repo timing protocol (single-dispatch timings over
+the axon tunnel are meaningless — scan chains only). The original
+adoption session also swept u=16 (BASELINE.md table).
 
 Adopted verdict (2026-08-21): u=32 — fwd 265M -> 390M edges/s, train
 92M -> 140M, outputs bit-identical across all forms.
